@@ -1,0 +1,231 @@
+"""Plain and FGM-adversarial train/eval steps.
+
+Behavioral spec from the reference (`DeepSC-GAN/utlis/trainer.py:12-64`,
+`utlis/eval.py:189-232`), re-designed as pure jitted functions over a
+`TrainState`: teacher-forced forward -> reference-parity masked CE ->
+Adam. The FGM step is the two-phase pattern of §3.3 in SURVEY.md:
+forward #1, grad w.r.t. the received symbols y, FGM-normalize, forward #2
+with the perturbation injected, update on the adversarial loss.
+
+Each step takes an explicit PRNG `key`; channel noise and dropout keys are
+split from it, so a fixed key gives a bit-reproducible step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from deepsc_gan_tpu.ops.losses import loss_function
+from deepsc_gan_tpu.ops.masks import create_masks
+from deepsc_gan_tpu.ops.schedule import make_optimizer
+from deepsc_gan_tpu.utils.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def create_train_state(model, cfg: Config, key,
+                       tx: Optional[optax.GradientTransformation] = None,
+                       batch_size: Optional[int] = None,
+                       **init_kwargs) -> TrainState:
+    """Initialize params with dummy batch shapes derived from the config.
+    For the GAN transceiver pass `traingan=True` so the generator's params
+    are created."""
+    bs = batch_size or cfg.bs
+    inp = jnp.zeros((bs, cfg.seq_len), jnp.int32)
+    tar_inp = jnp.zeros((bs, cfg.seq_len - 1), jnp.int32)
+    p = jnp.zeros((bs, cfg.seq_len, cfg.channel_dim), jnp.float32)
+    k_init, k_ch = jax.random.split(key)
+    variables = model.init(
+        {"params": k_init, "dropout": k_init}, inp, tar_inp, k_ch, p, 0.0,
+        deterministic=True, **init_kwargs)
+    tx = tx or make_optimizer(cfg.lr, cfg.schedule, cfg.encoder_d_model,
+                              cfg.warmup_steps)
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx)
+
+
+def _shift_targets(tar):
+    return tar[:, :-1], tar[:, 1:]
+
+
+def _loss_kwargs(cfg: Config):
+    extra = (4, 5) if cfg.mask_extra_tokens else None
+    return dict(pad_idx=cfg.pad_idx, extra_masked_ids=extra)
+
+
+def make_train_step(model, cfg: Config,
+                    channel_kind: Optional[str] = None,
+                    full_target: bool = False) -> Callable:
+    """Plain teacher-forced step (reference `train_step_noattack`,
+    trainer.py:12-27; PNR fixed 0, p passed through). `full_target=True`
+    scores against the UN-shifted target — required for star decoders,
+    whose output length equals the memory length (see eval_step_star,
+    utlis/eval.py:334). Returns a jitted
+    `step(state, inp, tar, key, n_std) -> (state, loss)`."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+
+    @jax.jit
+    def step(state: TrainState, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        if full_target:
+            tar_real = tar
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        k_ch, k_do = jax.random.split(key)
+        p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                      jnp.float32)
+
+        def loss_fn(params):
+            logits, *_ = model.apply(
+                {"params": params}, inp, tar_inp, k_ch, p, 0.0, kind, n_std,
+                enc_mask, combined_mask, dec_mask, deterministic=False,
+                rngs={"dropout": k_do})
+            return loss_function(tar_real, logits, **lkw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    return step
+
+
+def make_train_attack_step(model, cfg: Config,
+                           channel_kind: Optional[str] = None,
+                           full_target: bool = False) -> Callable:
+    """FGM adversarial step (reference `train_attack_step`,
+    trainer.py:30-64). `full_target=True` reproduces the reference's use of
+    the UN-shifted target as `tar_real` (trainer.py:32) — only valid for
+    star decoders whose output length equals the memory length.
+    Returns jitted `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (state, (clean_loss, adv_loss))`."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    from deepsc_gan_tpu.train.attacks import fgm_normalize
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        k_ch1, k_ch2, k_do1, k_do2 = jax.random.split(key, 4)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        # ---- phase 1: forward with given p, grad of loss w.r.t. received y
+        def loss_wrt_y(y, params):
+            logits = model.apply(
+                {"params": params}, tar_inp, y, combined_mask, dec_mask,
+                deterministic=False, rngs={"dropout": k_do1},
+                method="decode")
+            return loss_function(tar_real, logits, **lkw)
+
+        tx_sym = model.apply({"params": state.params}, inp, enc_mask,
+                             deterministic=False, rngs={"dropout": k_do1},
+                             method="encode")
+        y1 = model.apply({"params": state.params}, k_ch1, tx_sym, p0, pnr_db,
+                         n_std, kind, method="transmit")
+        clean_loss, g_y = jax.value_and_grad(loss_wrt_y)(y1, state.params)
+        r = fgm_normalize(g_y, epsilon)
+
+        # ---- phase 2: forward with p = r, update on the adversarial loss
+        def adv_loss_fn(params):
+            logits, *_ = model.apply(
+                {"params": params}, inp, tar_inp, k_ch2, r, pnr_db, kind,
+                n_std, enc_mask, combined_mask, dec_mask,
+                deterministic=False, rngs={"dropout": k_do2})
+            return loss_function(tar_real, logits, **lkw)
+
+        adv_loss, grads = jax.value_and_grad(adv_loss_fn)(state.params)
+        return state.apply_gradients(grads), (clean_loss, adv_loss)
+
+    return step
+
+
+def make_eval_step(model, cfg: Config, channel_kind: Optional[str] = None,
+                   attack_target: str = "tx",
+                   full_target: bool = False) -> Callable:
+    """Teacher-forced eval with an FGM attack (reference
+    `eval_step_normal` / `eval_step_star`, utlis/eval.py:189-232,321-365).
+    `attack_target` picks the intermediate differentiated against: "tx"
+    (the reference's channel_enc_output) or "y" (received). For non-AWGN
+    channels the reference computes the attack gradient through an AWGN
+    pass (eval.py:204-211) — reproduced. Returns jitted
+    `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (clean_loss, attacked_loss, clean_logits, attacked_logits)`."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    from deepsc_gan_tpu.train.attacks import fgm_normalize
+
+    @jax.jit
+    def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
+        params = state.params
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        k1, k2, k3 = jax.random.split(key, 3)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        def forward(k, p, ch):
+            logits, tx_sym, y, _ = model.apply(
+                {"params": params}, inp, tar_inp, k, p, pnr_db, ch, n_std,
+                enc_mask, combined_mask, dec_mask, deterministic=True)
+            return logits, tx_sym, y
+
+        clean_logits, _, _ = forward(k1, p0, kind)
+        clean_loss = loss_function(tar_real, clean_logits, **lkw)
+
+        # attack gradient — always through an AWGN pass (reference
+        # eval.py:204-213: for fading channels the gradient is taken from a
+        # separate AWGN forward; for AWGN it is the same pass)
+        def loss_wrt_tx(tx_sym):
+            y = model.apply({"params": params}, k2, tx_sym, p0, pnr_db,
+                            n_std, "AWGN", method="transmit")
+            logits = model.apply({"params": params}, tar_inp, y,
+                                 combined_mask, dec_mask, deterministic=True,
+                                 method="decode")
+            return loss_function(tar_real, logits, **lkw)
+
+        def loss_wrt_y(y):
+            logits = model.apply({"params": params}, tar_inp, y,
+                                 combined_mask, dec_mask, deterministic=True,
+                                 method="decode")
+            return loss_function(tar_real, logits, **lkw)
+
+        tx_sym = model.apply({"params": params}, inp, enc_mask,
+                             deterministic=True, method="encode")
+        if attack_target == "tx":
+            g = jax.grad(loss_wrt_tx)(tx_sym)
+        else:
+            y_awgn = model.apply({"params": params}, k2, tx_sym, p0, pnr_db,
+                                 n_std, "AWGN", method="transmit")
+            g = jax.grad(loss_wrt_y)(y_awgn)
+        pert = fgm_normalize(g, epsilon)
+
+        attacked_logits, _, _ = forward(k3, pert, kind)
+        attacked_loss = loss_function(tar_real, attacked_logits, **lkw)
+        return clean_loss, attacked_loss, clean_logits, attacked_logits
+
+    return step

@@ -1,0 +1,135 @@
+"""Configuration for the framework.
+
+Field names and defaults mirror the reference's argparse namespace
+(`DeepSC-GAN/utlis/parameters.py:5-65`) so a reference user can move their
+flags over 1:1, but the implementation is a frozen dataclass that is
+hashable (usable as a `jit` static argument) and CLI-overridable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- data paths (reference: parameters.py:9-17; Windows notebook paths dropped)
+    input_data_dir: str = "data/txt/en"
+    train_save_path: str = "data/txt/train_data.pkl"
+    test_save_path: str = "data/txt/test_data.pkl"
+    vocab_path: str = "data/txt/vocab.json"
+    log_save_path: str = "log"
+    checkpoint_path: str = "checkpoint"
+
+    # --- training (reference: parameters.py:20-27)
+    bs: int = 64
+    shuffle_size: int = 22234
+    lr: float = 5e-4
+    epochs: int = 60
+    train_with_mine: bool = False
+    mine_lambda: float = 0.0009  # weight of the -MI term when train_with_mine
+    max_length: int = 30        # decode steps (reference: parameters.py:36)
+    seq_len: int = 31           # padded sentence length (reference: dataloader.py:11)
+    channel: str = "AWGN"       # AWGN | Rayleigh | Rician (parameters.py:37)
+
+    # --- model (reference: parameters.py:40-50)
+    vocab_size: int = 22234
+    encoder_num_layer: int = 4
+    encoder_d_model: int = 128
+    encoder_d_ff: int = 512
+    encoder_num_heads: int = 8
+    encoder_dropout: float = 0.1
+    decoder_num_layer: int = 4
+    decoder_d_model: int = 128
+    decoder_d_ff: int = 512
+    decoder_num_heads: int = 8
+    decoder_dropout: float = 0.1
+
+    # --- star-transformer (reference: parameters.py:53-54)
+    cycle_num: int = 8
+    cycle_layers: int = 8
+
+    # --- channel codec (reference hard-codes 256/16 at transceiver.py:128,
+    #     and channel-decoder hidden 512 at transceiver.py:131)
+    channel_hidden: int = 256
+    channel_dim: int = 16
+    channel_dec_hidden: int = 512
+
+    # --- SNR (reference: parameters.py:58-59)
+    train_snr: int = 3
+    test_snr: int = 6
+
+    # --- quirk switches (SURVEY.md §7 Q1-Q3; defaults = reference behavior)
+    # Q1: the reference FFN sublayer is accidentally an identity layer
+    #     (modules.py:389-401). "mlp" gives the intended ReLU MLP.
+    ffn_mode: str = "mlp"  # "mlp" | "identity"
+    # Q2: the reference intends to mask token ids 4 ('') and 5 ('!') in the
+    #     loss but a bug makes it pad-only (modules.py:749-750).
+    mask_extra_tokens: bool = False
+    # Q3: the reference computes LS/MMSE equalization but returns the
+    #     UN-equalized fading output (transceiver.py:74-81).
+    equalizer: Optional[str] = None  # None | "LS" | "MMSE"
+
+    # --- special token ids (reference: preprocess_text.py:17-22)
+    pad_idx: int = 0
+    start_idx: int = 1
+    end_idx: int = 2
+    unk_idx: int = 3
+
+    # --- schedule (reference: modules.py:719-735; the committed notebooks
+    #     used plain Adam(lr) per parameters.py:22 — "noam" optional)
+    schedule: str = "constant"  # "constant" | "noam"
+    warmup_steps: int = 4000
+
+    # --- GAN (reference: gan_train.py:8-50)
+    gan_lambda: float = 0.5   # lenmda in gan_train_step
+    gan_pnr_db: float = 40.0  # PNR used during GAN training (gan_train.py:16)
+    g_loss_ceiling: float = 10.0  # g_loss = ceiling - CE(pred_p) (gan_train.py:21)
+
+    # --- compute
+    dtype: str = "bfloat16"      # activations dtype on TPU
+    param_dtype: str = "float32"
+
+    # --- parallelism (new capability; the reference is single-device)
+    dp: int = 1   # data-parallel mesh size
+    tp: int = 1   # tensor-parallel (vocab/heads) mesh size
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def d_model(self) -> int:
+        return self.encoder_d_model
+
+
+def default_config(**kw: Any) -> Config:
+    return Config(**kw)
+
+
+def add_config_args(parser: argparse.ArgumentParser) -> None:
+    """Register every Config field as a --flag (dashes for underscores)."""
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        else:
+            typ = type(f.default) if f.default is not None else str
+            parser.add_argument(name, type=typ, default=f.default)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    names = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def para_config(argv: Optional[list] = None) -> Config:
+    """Drop-in analogue of the reference's `para_config()`
+    (`DeepSC-GAN/utlis/parameters.py:5-65`): parse known args only, so it
+    also works inside notebooks."""
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    ns, _ = parser.parse_known_args(argv)
+    return config_from_args(ns)
