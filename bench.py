@@ -1,0 +1,82 @@
+"""Benchmark: training throughput of the flagship model at reference scale.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: teacher-forced training throughput in sentences/sec/chip for the
+vanilla DeepSC transceiver at the reference's published scale
+(d_model=128, 4+4 layers, 8 heads, dff=512, vocab=22,234, L=31, B=64 —
+DeepSC-GAN/utlis/parameters.py:20-54), AWGN channel, Adam — i.e. the
+reference's `train_step_noattack` workload.
+
+vs_baseline: ratio against REFERENCE_SENTS_PER_SEC, an estimate of the
+TF2 reference's single-GPU throughput (its hardware is unstated —
+SURVEY.md §6). Estimate: the reference runs unfused TF2 eager-traced
+Keras at batch 64; a ~7M-param model of this shape steps in ~25ms on a
+V100-class card => ~2,500 sentences/sec. BASELINE.md's target is >=5x
+this per chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_SENTS_PER_SEC = 2500.0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--dtype", default="bfloat16")
+    args = parser.parse_args()
+
+    from deepsc_gan_tpu.data.loader import synthetic_dataset
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+    from deepsc_gan_tpu.utils.config import Config
+
+    cfg = Config(bs=args.batch, dtype=args.dtype)
+    model = make_model(cfg, "transformer")
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, key)
+    step = make_train_step(model, cfg, donate=True)
+
+    ds = synthetic_dataset(n=args.batch, seq_len=cfg.seq_len,
+                           vocab_size=cfg.vocab_size,
+                           batch_size=args.batch, seed=0)
+    batch = jnp.asarray(next(iter(ds))[0])
+
+    for _ in range(args.warmup):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, batch, batch, sub, 0.1)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, batch, batch, sub, 0.1)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    sents_per_sec = args.steps * args.batch / dt
+    n_chips = max(jax.device_count(), 1)
+    per_chip = sents_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "train_throughput_flagship",
+        "value": round(per_chip, 1),
+        "unit": "sentences/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_SENTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""Command-line entry points: preprocess / train / evaluate.
+
+The reference has NO committed driver (SURVEY.md §1: the training loop
+lived in untracked Jupyter notebooks with hard-coded Windows paths,
+utlis/parameters.py:13-17). This CLI is that missing piece, built on the
+framework's step functions:
+
+  python -m deepsc_gan_tpu.cli preprocess --input-data-dir data/txt/en
+  python -m deepsc_gan_tpu.cli train --variant transformer --epochs 3
+  python -m deepsc_gan_tpu.cli train --variant gan --train-mode gan
+  python -m deepsc_gan_tpu.cli evaluate --variant transformer \
+      --eval-mode greedy --snr-lo 0 --snr-hi 18
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from deepsc_gan_tpu.data.loader import (
+    Dataset,
+    load_token_lists,
+    pad_sequences,
+    synthetic_dataset,
+)
+from deepsc_gan_tpu.data.vocab import Vocab
+from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu, save_result_table
+from deepsc_gan_tpu.evaluate.greedy import (
+    make_greedy_decode,
+    make_greedy_decode_attack,
+    make_greedy_decode_gan,
+)
+from deepsc_gan_tpu.models.channel import snr_to_noise
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+from deepsc_gan_tpu.train.mine_steps import create_mine_state, make_mine_train_step
+from deepsc_gan_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_attack_step,
+    make_train_step,
+)
+from deepsc_gan_tpu.utils.checkpoint import CheckpointManager
+from deepsc_gan_tpu.utils.config import Config, add_config_args, config_from_args
+from deepsc_gan_tpu.utils.logging import MetricLogger, StepTimer
+
+STAR_VARIANTS = ("star", "star_multi")
+
+
+def _is_star(variant: str) -> bool:
+    return variant in STAR_VARIANTS
+
+
+def _position_mode(variant: str) -> str:
+    return "last" if _is_star(variant) else "step"
+
+
+def _load_dataset(cfg: Config, path: str, shuffle: bool, seed: int = 0) -> Dataset:
+    if os.path.exists(path):
+        raw = load_token_lists(path)
+        data = pad_sequences(raw, maxlen=cfg.seq_len)
+        return Dataset(data, batch_size=cfg.bs, shuffle=shuffle, seed=seed)
+    print(f"[data] {path} not found -> synthetic dataset", file=sys.stderr)
+    return Dataset(
+        synthetic_dataset(4096, cfg.seq_len, cfg.vocab_size, cfg.bs,
+                          seed).data,
+        batch_size=cfg.bs, shuffle=shuffle, seed=seed)
+
+
+def _load_vocab(cfg: Config) -> Vocab:
+    if os.path.exists(cfg.vocab_path):
+        return Vocab.load(cfg.vocab_path)
+    print(f"[data] {cfg.vocab_path} not found -> identity vocab",
+          file=sys.stderr)
+    t2i = {"<PAD>": 0, "<START>": 1, "<END>": 2, "<UNK>": 3}
+    for i in range(4, cfg.vocab_size):
+        t2i[f"w{i}"] = i
+    return Vocab(t2i)
+
+
+def cmd_train(args) -> None:
+    cfg = config_from_args(args)
+    variant = args.variant
+    mode = args.train_mode
+    star = _is_star(variant)
+
+    key = jax.random.PRNGKey(args.seed)
+    model = make_model(cfg, variant)
+    init_kw = {"traingan": True} if variant == "gan" else {}
+    state = create_train_state(model, cfg, key, **init_kw)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"[train] variant={variant} mode={mode} params={n_params:,}")
+
+    if mode == "gan":
+        step = make_gan_train_step(model, cfg)
+    elif mode == "attack":
+        step = make_train_attack_step(model, cfg, full_target=star)
+    elif mode == "mine":
+        mine, mine_state = create_mine_state(cfg, key)
+        step = make_mine_train_step(model, mine, cfg)
+    else:
+        step = make_train_step(model, cfg, full_target=star)
+
+    train_ds = _load_dataset(cfg, cfg.train_save_path, shuffle=True,
+                             seed=args.seed)
+    n_std = float(snr_to_noise(cfg.train_snr))
+    logger = MetricLogger(os.path.join(cfg.log_save_path, "train.jsonl"))
+    ckpt = CheckpointManager(
+        os.path.join(cfg.checkpoint_path, variant), max_to_keep=5)
+    timer = StepTimer(skip=1)
+
+    step_i = 0
+    for epoch in range(cfg.epochs):
+        for inp, tar in train_ds:
+            key, sub = jax.random.split(key)
+            timer.start()
+            if mode == "gan":
+                state, (loss, g_loss, d_loss) = step(state, inp, tar, sub,
+                                                     n_std)
+                metrics = dict(loss=loss, g_loss=g_loss, d_loss=d_loss)
+            elif mode == "attack":
+                state, (loss, loss_m) = step(state, inp, tar, sub,
+                                             args.pnr_db, n_std,
+                                             args.epsilon)
+                metrics = dict(loss=loss, loss_adv=loss_m)
+            elif mode == "mine":
+                state, mine_state, (loss, mi) = step(state, mine_state, inp,
+                                                     tar, sub, n_std)
+                metrics = dict(loss=loss, mi=mi)
+            else:
+                state, loss = step(state, inp, tar, sub, n_std)
+                metrics = dict(loss=loss)
+            jax.block_until_ready(state.params)
+            dt = timer.stop()
+            step_i += 1
+            if step_i % args.log_every == 0:
+                logger.log(epoch=epoch, step=step_i, step_time=dt,
+                           sents_per_sec=cfg.bs / max(timer.mean, 1e-9),
+                           **metrics)
+        ckpt.save(epoch + 1, state)
+    logger.close()
+    print(f"[train] done: {step_i} steps, "
+          f"{cfg.bs / max(timer.mean, 1e-9):.0f} sentences/sec")
+
+
+def cmd_evaluate(args) -> None:
+    cfg = config_from_args(args)
+    variant = args.variant
+    star = _is_star(variant)
+    pm = _position_mode(variant)
+
+    key = jax.random.PRNGKey(args.seed)
+    model = make_model(cfg, variant)
+    init_kw = {"traingan": True} if variant == "gan" else {}
+    state = create_train_state(model, cfg, key, **init_kw)
+    ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
+    if os.path.isdir(ckpt_dir):
+        try:
+            mgr = CheckpointManager(ckpt_dir)
+            state = mgr.restore(state)
+            print(f"[eval] restored epoch {mgr.latest_epoch()}")
+        except FileNotFoundError:
+            print("[eval] no checkpoint found; evaluating random init",
+                  file=sys.stderr)
+
+    vocab = _load_vocab(cfg)
+    test_ds = _load_dataset(cfg, cfg.test_save_path, shuffle=False)
+    batches = [inp for inp, _ in test_ds][: args.eval_batches]
+
+    snrs = list(range(args.snr_lo, args.snr_hi + 1))
+    if args.eval_mode == "greedy":
+        decode = make_greedy_decode(model, cfg, position_mode=pm)
+        extra = ()
+    elif args.eval_mode == "greedy_attack":
+        decode = make_greedy_decode_attack(model, cfg, position_mode=pm)
+        extra = (args.epsilon,)
+    elif args.eval_mode == "greedy_gan":
+        decode = make_greedy_decode_gan(model, cfg, position_mode=pm)
+        extra = (args.epsilon,)
+    else:  # teacher-forced eval with FGM attack
+        step = make_eval_step(model, cfg, full_target=star)
+        table = []
+        for snr in snrs:
+            n_std = float(snr_to_noise(snr))
+            cls, als = [], []
+            for inp in batches:
+                key, sub = jax.random.split(key)
+                cl, al, _, _ = step(state, inp, inp, sub, args.pnr_db,
+                                    n_std, args.epsilon)
+                cls.append(float(cl))
+                als.append(float(al))
+            table.append([snr, float(np.mean(cls)), float(np.mean(als))])
+            print(f"SNR={snr}dB clean={table[-1][1]:.4f} "
+                  f"attacked={table[-1][2]:.4f}")
+        save_result_table(table, os.path.join(cfg.log_save_path,
+                                              f"eval-{variant}.pkl"))
+        return
+
+    table = snr_sweep_bleu(decode, state.params, batches, vocab, cfg,
+                           snrs=snrs, pnr_db=args.pnr_db, key=key,
+                           decode_extra_args=extra)
+    for snr, bleu in table:
+        print(f"SNR={snr:.0f}dB BLEU-1={bleu:.4f}")
+    save_result_table(table, os.path.join(
+        cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="deepsc_gan_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("preprocess", help="Europarl preprocessing")
+    pp.add_argument("--input-data-dir", default="data/txt/en")
+    pp.add_argument("--output-train-dir", default="data/txt/train_data.pkl")
+    pp.add_argument("--output-test-dir", default="data/txt/test_data.pkl")
+    pp.add_argument("--output-vocab", default="data/txt/vocab.json")
+
+    for name in ("train", "evaluate"):
+        p = sub.add_parser(name)
+        add_config_args(p)
+        p.add_argument("--variant", default="transformer",
+                       choices=["transformer", "star", "star_multi", "gan"])
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--pnr-db", type=float, default=0.0)
+        p.add_argument("--epsilon", type=float, default=1.0)
+        if name == "train":
+            p.add_argument("--train-mode", default="plain",
+                           choices=["plain", "attack", "gan", "mine"])
+            p.add_argument("--log-every", type=int, default=10)
+        else:
+            p.add_argument("--eval-mode", default="greedy",
+                           choices=["greedy", "greedy_attack", "greedy_gan",
+                                    "teacher_forced"])
+            p.add_argument("--eval-batches", type=int, default=8)
+            p.add_argument("--snr-lo", type=int, default=0)
+            p.add_argument("--snr-hi", type=int, default=18)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "preprocess":
+        from deepsc_gan_tpu.data.preprocess import main as pp_main
+        pp_main(["--input-data-dir", args.input_data_dir,
+                 "--output-train-dir", args.output_train_dir,
+                 "--output-test-dir", args.output_test_dir,
+                 "--output-vocab", args.output_vocab])
+    elif args.cmd == "train":
+        cmd_train(args)
+    else:
+        cmd_evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Sharded training and evaluation over the device mesh.
+
+Data-parallel training: params/opt-state replicated, batch sharded on the
+`dp` axis. The train step is jitted with explicit `NamedSharding`s; XLA
+inserts the gradient all-reduce (psum over ICI) automatically from the
+sharding constraints — no hand-written collectives needed at this model
+scale (the "let XLA insert collectives" recipe).
+
+SNR-sweep evaluation: the BLEU-vs-SNR curve is embarrassingly parallel
+across SNR points. `make_parallel_snr_sweep` vmaps teacher-forced eval
+over a vector of noise levels and shards that axis over the mesh's `snr`
+axis, so a v5e-8 evaluates 8 SNR points per step instead of 1 — this is
+the capability BASELINE.json names ("SNR-sweep BLEU evaluation batched
+across chips").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepsc_gan_tpu.ops.losses import loss_function
+from deepsc_gan_tpu.ops.masks import create_masks
+from deepsc_gan_tpu.train.steps import TrainState, _loss_kwargs, _shift_targets
+from deepsc_gan_tpu.utils.config import Config
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Place a host array with its leading dim sharded over `axis`."""
+    return jax.device_put(batch, NamedSharding(mesh, P(axis)))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
+                             channel_kind: Optional[str] = None,
+                             full_target: bool = False,
+                             dp_axis: str = "dp") -> Callable:
+    """Data-parallel version of train.steps.make_train_step. Returns
+    `step(state, inp, tar, key, n_std) -> (state, loss)` with batch inputs
+    sharded over `dp_axis` and state replicated. Each device derives its
+    own channel/dropout key by folding in its dp index so noise
+    realizations differ per shard."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+
+    def step(state: TrainState, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        if full_target:
+            tar_real = tar
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        k_ch, k_do = jax.random.split(key)
+        p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                      jnp.float32)
+
+        def loss_fn(params):
+            logits, *_ = model.apply(
+                {"params": params}, inp, tar_inp, k_ch, p, 0.0, kind, n_std,
+                enc_mask, combined_mask, dec_mask, deterministic=False,
+                rngs={"dropout": k_do})
+            return loss_function(tar_real, logits, **lkw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_parallel_snr_sweep(model, cfg: Config, mesh: Mesh,
+                            channel_kind: Optional[str] = None,
+                            full_target: bool = False,
+                            snr_axis: str = "snr") -> Callable:
+    """Teacher-forced CE + token-accuracy across a VECTOR of SNR points in
+    one device-parallel call. Returns
+    `sweep(params, inp, tar, key, n_stds) -> (ce[S], acc[S])` with the S
+    axis sharded over the mesh's snr axis. (Greedy-decode BLEU sweeps use
+    the same pattern through evaluate.evaluator on each shard.)"""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+
+    repl = NamedSharding(mesh, P())
+    snr_sh = NamedSharding(mesh, P(snr_axis))
+
+    def one_point(params, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        if full_target:
+            tar_real = tar
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        logits, *_ = model.apply(
+            {"params": params}, inp, tar_inp, key,
+            jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                      jnp.float32),
+            0.0, kind, n_std, enc_mask, combined_mask, dec_mask,
+            deterministic=True)
+        ce = loss_function(tar_real, logits, **lkw)
+        pred = jnp.argmax(logits, axis=-1)
+        mask = (tar_real != cfg.pad_idx).astype(jnp.float32)
+        acc = jnp.sum((pred == tar_real) * mask) / jnp.maximum(
+            jnp.sum(mask), 1.0)
+        return ce, acc
+
+    def sweep(params, inp, tar, key, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return jax.vmap(one_point, in_axes=(None, None, None, 0, 0))(
+            params, inp, tar, keys, n_stds)
+
+    return jax.jit(
+        sweep,
+        in_shardings=(repl, repl, repl, repl, snr_sh),
+        out_shardings=(snr_sh, snr_sh),
+    )

@@ -75,17 +75,20 @@ def _loss_kwargs(cfg: Config):
 
 def make_train_step(model, cfg: Config,
                     channel_kind: Optional[str] = None,
-                    full_target: bool = False) -> Callable:
+                    full_target: bool = False,
+                    donate: bool = False) -> Callable:
     """Plain teacher-forced step (reference `train_step_noattack`,
     trainer.py:12-27; PNR fixed 0, p passed through). `full_target=True`
     scores against the UN-shifted target — required for star decoders,
     whose output length equals the memory length (see eval_step_star,
-    utlis/eval.py:334). Returns a jitted
+    utlis/eval.py:334). `donate=True` donates the input state's buffers
+    (params/opt-state updated in place on TPU — halves HBM traffic for the
+    optimizer; the passed-in state must not be reused). Returns a jitted
     `step(state, inp, tar, key, n_std) -> (state, loss)`."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
         if full_target:

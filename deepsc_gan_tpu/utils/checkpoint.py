@@ -1,0 +1,74 @@
+"""Checkpointing via Orbax.
+
+The reference checkpoints with `tf.train.Checkpoint`, keep-last-5, in a
+`checkpoint/<variant>/epoch-N/` layout (SURVEY.md §5.4; the save/restore
+calls lived in the author's notebooks). This module commits that policy:
+Orbax CheckpointManager with `max_to_keep`, steps tagged by epoch, plus
+explicit save/restore of the full TrainState (params + optimizer moments
++ step) so resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from deepsc_gan_tpu.train.steps import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, epoch: int, state: TrainState,
+             extra: Optional[dict] = None) -> None:
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: TrainState,
+                epoch: Optional[int] = None) -> TrainState:
+        """Restore into the structure of `state` (shapes/dtypes taken from
+        it, so it works across hosts/meshes)."""
+        epoch = epoch if epoch is not None else self._mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        restored = self._mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template))
+        return state.replace(params=restored["params"],
+                             opt_state=restored["opt_state"],
+                             step=restored["step"])
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot params-only save (for eval-time artifacts)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, template: Any = None) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(path), target=template)
+    return ckptr.restore(os.path.abspath(path))

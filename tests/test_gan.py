@@ -1,0 +1,105 @@
+"""GAN three-phase step: partition correctness and shared-Adam semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.train.gan_steps import (
+    GENERATOR,
+    TX_SIDE,
+    make_gan_eval_step,
+    make_gan_train_step,
+    phase_mask,
+    selective_update,
+)
+from deepsc_gan_tpu.train.steps import TrainState, create_train_state
+
+
+@pytest.fixture(scope="module")
+def gan_setup(tiny_cfg):
+    model = make_model(tiny_cfg, "gan")
+    state = create_train_state(model, tiny_cfg, jax.random.PRNGKey(0),
+                               batch_size=tiny_cfg.bs, traingan=True)
+    return model, state
+
+
+def test_phase_mask_partitions(gan_setup):
+    _, state = gan_setup
+    m_gen = phase_mask(state.params, include=(GENERATOR,))
+    m_codec = phase_mask(state.params, exclude=(GENERATOR,))
+    m_rx = phase_mask(state.params, exclude=TX_SIDE)
+    assert all(jax.tree.leaves(m_gen["generator"]))
+    assert not any(jax.tree.leaves(m_gen["semantic_encoder"]))
+    assert not any(jax.tree.leaves(m_codec["generator"]))
+    assert all(jax.tree.leaves(m_codec["semantic_decoder"]))
+    assert not any(jax.tree.leaves(m_rx["semantic_encoder"]))
+    assert not any(jax.tree.leaves(m_rx["channel_encoder"]))
+    assert all(jax.tree.leaves(m_rx["channel_decoder"]))
+
+
+def test_selective_update_freezes_masked(gan_setup):
+    _, state = gan_setup
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    mask = phase_mask(state.params, include=(GENERATOR,))
+    new = selective_update(state, grads, mask)
+    # generator moved, everything else identical
+    for g_old, g_new in zip(jax.tree.leaves(state.params["generator"]),
+                            jax.tree.leaves(new.params["generator"])):
+        assert not np.allclose(np.asarray(g_old), np.asarray(g_new))
+    for k in state.params:
+        if k == "generator":
+            continue
+        for a, b in zip(jax.tree.leaves(state.params[k]),
+                        jax.tree.leaves(new.params[k])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_selective_update_preserves_frozen_moments(gan_setup):
+    """Adam moments of masked-out params must not decay (TF semantics of
+    apply_gradients over a filtered var list)."""
+    _, state = gan_setup
+    # seed non-zero moments everywhere with one full update
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    full_mask = jax.tree.map(lambda _: True, state.params)
+    state1 = selective_update(state, grads, full_mask)
+    # now a generator-only update must leave other moments bit-identical
+    state2 = selective_update(state1, grads,
+                              phase_mask(state.params,
+                                         include=(GENERATOR,)))
+    mu1 = state1.opt_state[0].mu
+    mu2 = state2.opt_state[0].mu
+    for k in mu1:
+        leaves1, leaves2 = jax.tree.leaves(mu1[k]), jax.tree.leaves(mu2[k])
+        for a, b in zip(leaves1, leaves2):
+            if k == "generator":
+                assert not np.allclose(np.asarray(a), np.asarray(b))
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gan_train_step_improves_receiver(tiny_cfg, tiny_batch, gan_setup):
+    model, state = gan_setup
+    step = make_gan_train_step(model, tiny_cfg)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        state, (loss, g_loss, d_loss) = step(state, tiny_batch, tiny_batch,
+                                             sub, 0.02)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+
+
+def test_gan_eval_step(tiny_cfg, tiny_batch, gan_setup):
+    model, state = gan_setup
+    ev = make_gan_eval_step(model, tiny_cfg)
+    cl, al, clean_logits, att_logits = ev(state, tiny_batch, tiny_batch,
+                                          jax.random.PRNGKey(1), 10.0, 0.1,
+                                          1.0)
+    assert np.isfinite(float(cl)) and np.isfinite(float(al))
+    assert clean_logits.shape == att_logits.shape

@@ -1,0 +1,142 @@
+"""Model assemblies: shapes, variants, staged forward consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsc_gan_tpu.models.channel import ChannelDecoder, ChannelEncoder
+from deepsc_gan_tpu.models.gan import (
+    Discriminator,
+    DiscriminatorCNN,
+    Generator,
+    GeneratorCNN,
+)
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.ops.masks import create_masks, create_padding_mask
+from deepsc_gan_tpu.train.steps import create_train_state
+
+
+def _state(model, cfg, variant):
+    kw = {"traingan": True} if variant == "gan" else {}
+    return create_train_state(model, cfg, jax.random.PRNGKey(0),
+                              batch_size=cfg.bs, **kw)
+
+
+@pytest.mark.parametrize("variant", ["transformer", "star_multi", "star"])
+def test_transceiver_forward_shapes(tiny_cfg, tiny_batch, variant):
+    cfg = tiny_cfg
+    model = make_model(cfg, variant)
+    state = _state(model, cfg, variant)
+    inp = tiny_batch
+    tar_inp = inp[:, :-1]
+    enc_m, comb_m, dec_m = create_masks(inp, tar_inp)
+    logits, tx, y, y2 = model.apply(
+        {"params": state.params}, inp, tar_inp, jax.random.PRNGKey(1),
+        jnp.zeros((cfg.bs, cfg.seq_len, cfg.channel_dim)), 0.0, "AWGN",
+        0.1, enc_m, comb_m, dec_m, deterministic=True)
+    assert tx.shape == (cfg.bs, cfg.seq_len, cfg.channel_dim)
+    assert y.shape == tx.shape
+    # star decoders output at MEMORY length; vanilla at target length
+    out_len = cfg.seq_len if variant != "transformer" else cfg.seq_len - 1
+    assert logits.shape == (cfg.bs, out_len, cfg.vocab_size)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_gan_transceiver_outputs(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg
+    model = make_model(cfg, "gan")
+    state = _state(model, cfg, "gan")
+    inp = tiny_batch
+    tar_inp = inp[:, :-1]
+    enc_m, comb_m, dec_m = create_masks(inp, tar_inp)
+    p = jnp.zeros((cfg.bs, cfg.seq_len, cfg.channel_dim))
+    pred_p, pred_r, tx, y_r = model.apply(
+        {"params": state.params}, inp, tar_inp, jax.random.PRNGKey(1), p,
+        40.0, "AWGN", 0.1, enc_m, comb_m, dec_m, deterministic=True,
+        traingan=True)
+    assert pred_p.shape == pred_r.shape == (cfg.bs, cfg.seq_len - 1,
+                                            cfg.vocab_size)
+    # perturbed and clean branches must differ (generator injects power)
+    assert not np.allclose(np.asarray(pred_p), np.asarray(pred_r))
+
+
+def test_staged_forward_equals_composed(tiny_cfg, tiny_batch):
+    """encode+transmit+decode staged calls == __call__ at the same key."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = _state(model, cfg, "transformer")
+    inp = tiny_batch
+    tar_inp = inp[:, :-1]
+    enc_m, comb_m, dec_m = create_masks(inp, tar_inp)
+    key = jax.random.PRNGKey(3)
+    p = jnp.zeros((cfg.bs, cfg.seq_len, cfg.channel_dim))
+
+    logits_full, tx_full, y_full, _ = model.apply(
+        {"params": state.params}, inp, tar_inp, key, p, 0.0, "AWGN", 0.1,
+        enc_m, comb_m, dec_m, deterministic=True)
+
+    tx = model.apply({"params": state.params}, inp, enc_m,
+                     deterministic=True, method="encode")
+    y = model.apply({"params": state.params}, key, tx, p, 0.0, 0.1, "AWGN",
+                    method="transmit")
+    logits = model.apply({"params": state.params}, tar_inp, y, comb_m,
+                         dec_m, deterministic=True, method="decode")
+    np.testing.assert_allclose(np.asarray(tx), np.asarray(tx_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_full), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_full),
+                               atol=1e-5)
+
+
+def test_channel_codec_shapes():
+    enc = ChannelEncoder(hidden=24, out_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    tx = enc.apply({"params": params}, x)
+    assert tx.shape == (2, 5, 8)
+    assert np.isclose(float(jnp.mean(tx**2)), 1.0, atol=1e-5)
+
+    dec = ChannelDecoder(d_model=16, hidden=32)
+    dparams = dec.init(jax.random.PRNGKey(0), tx)["params"]
+    out = dec.apply({"params": dparams}, tx)
+    assert out.shape == (2, 5, 16)
+
+
+def test_generator_half_power():
+    g = Generator(hidden=24, out_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8))
+    params = g.init(jax.random.PRNGKey(0), x)["params"]
+    p = g.apply({"params": params}, x)
+    assert p.shape == x.shape
+    assert np.isclose(float(jnp.mean(p**2)), 0.5, atol=1e-5)
+
+
+def test_discriminator_and_cnn_variants():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 8))
+    for mod, out_dim in ((Discriminator(hidden=16, out_dim=8), 8),
+                         (GeneratorCNN(filters=8, kernel=4, out_dim=8), 8),
+                         (DiscriminatorCNN(filters=8, kernel=4, hidden=12),
+                          12)):
+        params = mod.init(jax.random.PRNGKey(1), x)["params"]
+        y = mod.apply({"params": params}, x)
+        assert y.shape == (2, 6, out_dim)
+
+
+def test_dropout_changes_with_rng(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = _state(model, cfg, "transformer")
+    inp = tiny_batch
+    enc_m = create_padding_mask(inp)
+
+    def enc(do_key):
+        return model.apply({"params": state.params}, inp, enc_m,
+                           deterministic=False, method="encode",
+                           rngs={"dropout": do_key})
+
+    a = enc(jax.random.PRNGKey(0))
+    b = enc(jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    c = enc(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -1,0 +1,95 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: data-parallel
+training matches, SNR sweep shards, mesh construction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.parallel.mesh import local_mesh, make_mesh
+from deepsc_gan_tpu.parallel.sharding import (
+    make_parallel_snr_sweep,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)
+from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(dp=4, snr=2)
+    assert mesh.shape == {"snr": 2, "dp": 4}
+    mesh1 = local_mesh(8)
+    assert mesh1.shape == {"dp": 8}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3, snr=2)
+
+
+def test_dp_train_step_matches_single_device(tiny_cfg, tiny_batch):
+    """Same params, same batch, same key: the dp-sharded step must produce
+    the same loss and (numerically) the same updated params as the
+    single-device step."""
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_step(model, cfg)
+    s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+
+    mesh = local_mesh(8)
+    par = make_parallel_train_step(model, cfg, mesh)
+    state_r = replicate(state, mesh)
+    b_sh = shard_batch(batch, mesh)
+    s2, l2 = par(state_r, b_sh, b_sh, replicate(jax.random.PRNGKey(3), mesh),
+                 replicate(jnp.asarray(0.1), mesh))
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_train_step_loss_decreases(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    mesh = local_mesh(8)
+    state = replicate(
+        create_train_state(model, cfg, jax.random.PRNGKey(0), batch_size=8),
+        mesh)
+    par = make_parallel_train_step(model, cfg, mesh)
+    b_sh = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, loss = par(state, b_sh, b_sh, replicate(sub, mesh),
+                          replicate(jnp.asarray(0.05), mesh))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_snr_sweep_sharded(tiny_cfg, tiny_batch):
+    """8 SNR points evaluated in one call, sharded over the snr axis."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=8)
+    sweep = make_parallel_snr_sweep(model, cfg, mesh)
+    n_stds = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.18, 0.12, 0.08])
+    params = replicate(state.params, mesh)
+    ce, acc = sweep(params, replicate(tiny_batch, mesh),
+                    replicate(tiny_batch, mesh),
+                    replicate(jax.random.PRNGKey(1), mesh),
+                    jax.device_put(
+                        n_stds,
+                        jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec("snr"))))
+    assert ce.shape == (8,) and acc.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(ce)))

@@ -1,0 +1,118 @@
+"""Training steps: loss decreases on a tiny task; attack/MINE steps run;
+determinism at fixed keys."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.train.mine_steps import create_mine_state, make_mine_train_step
+from deepsc_gan_tpu.train.steps import (
+    create_train_state,
+    make_eval_step,
+    make_train_attack_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg, tiny_batch):
+    """Train the vanilla transceiver a few dozen steps on one batch."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    step = make_train_step(model, cfg)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tiny_batch, tiny_batch, sub, 0.02)
+        losses.append(float(loss))
+    return model, state, losses
+
+
+def test_loss_decreases(trained):
+    _, _, losses = trained
+    assert losses[-1] < losses[0] * 0.7, losses[::8]
+
+
+def test_train_step_deterministic(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    key = jax.random.PRNGKey(0)
+    s1 = create_train_state(model, cfg, key, batch_size=cfg.bs)
+    s2 = create_train_state(model, cfg, key, batch_size=cfg.bs)
+    step = make_train_step(model, cfg)
+    s1, l1 = step(s1, tiny_batch, tiny_batch, jax.random.PRNGKey(5), 0.1)
+    s2, l2 = step(s2, tiny_batch, tiny_batch, jax.random.PRNGKey(5), 0.1)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attack_step_runs_and_reports_both_losses(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    astep = make_train_attack_step(model, cfg)
+    state, (clean, adv) = astep(state, tiny_batch, tiny_batch,
+                                jax.random.PRNGKey(1), 10.0, 0.1, 1.0)
+    assert np.isfinite(float(clean)) and np.isfinite(float(adv))
+
+
+def test_eval_step_attack_hurts(trained, tiny_cfg, tiny_batch):
+    """After training, the FGM-attacked loss should exceed the clean loss
+    at high PNR."""
+    model, state, _ = trained
+    ev = make_eval_step(model, tiny_cfg)
+    clean, attacked, _, _ = ev(state, tiny_batch, tiny_batch,
+                               jax.random.PRNGKey(2), 20.0, 0.02, 1.0)
+    assert float(attacked) > float(clean)
+
+
+def test_mine_estimates_positive_mi(tiny_cfg):
+    """MINE on strongly correlated (x, y=x+small noise) should find
+    positive MI within a few hundred steps."""
+    import optax
+    from deepsc_gan_tpu.models.mine import MINE, mine_loss
+
+    cfg = tiny_cfg
+    mine = MINE(hidden=64)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((64, 4, 2))
+    params = mine.init(key, x0, x0)["params"]
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        kx, kn, kp = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (64, 4, 2))
+        y = x + 0.1 * jax.random.normal(kn, x.shape)
+        (loss, mi), g = jax.value_and_grad(
+            lambda p: mine_loss({"params": p}, mine, kp, x, y),
+            has_aux=True)(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, mi
+
+    mi = -1.0
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        params, opt, mi = step(params, opt, sub)
+    assert float(mi) > 0.5, float(mi)
+
+
+def test_mine_joint_step_runs(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mine, mstate = create_mine_state(cfg, jax.random.PRNGKey(1),
+                                     batch_size=cfg.bs)
+    step = make_mine_train_step(model, mine, cfg)
+    state, mstate, (ce, mi) = step(state, mstate, tiny_batch, tiny_batch,
+                                   jax.random.PRNGKey(2), 0.1)
+    assert np.isfinite(float(ce)) and np.isfinite(float(mi))
