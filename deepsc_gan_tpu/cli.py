@@ -47,7 +47,7 @@ from deepsc_gan_tpu.train.steps import (
 )
 from deepsc_gan_tpu.utils.checkpoint import CheckpointManager
 from deepsc_gan_tpu.utils.config import Config, add_config_args, config_from_args
-from deepsc_gan_tpu.utils.logging import MetricLogger, StepTimer
+from deepsc_gan_tpu.utils.logging import MetricLogger
 
 STAR_VARIANTS = ("star", "star_multi")
 
@@ -112,13 +112,16 @@ def cmd_train(args) -> None:
     logger = MetricLogger(os.path.join(cfg.log_save_path, "train.jsonl"))
     ckpt = CheckpointManager(
         os.path.join(cfg.checkpoint_path, variant), max_to_keep=5)
-    timer = StepTimer(skip=1)
 
+    # Async-dispatch training loop: never block on step results inside the
+    # loop (the TPU may sit behind a network tunnel — a per-step sync would
+    # serialize host->device latency into every step). Metrics are fetched
+    # only at log points; XLA queues the steps back-to-back.
     step_i = 0
+    t_epoch = time.time()
     for epoch in range(cfg.epochs):
         for inp, tar in train_ds:
             key, sub = jax.random.split(key)
-            timer.start()
             if mode == "gan":
                 state, (loss, g_loss, d_loss) = step(state, inp, tar, sub,
                                                      n_std)
@@ -135,17 +138,18 @@ def cmd_train(args) -> None:
             else:
                 state, loss = step(state, inp, tar, sub, n_std)
                 metrics = dict(loss=loss)
-            jax.block_until_ready(state.params)
-            dt = timer.stop()
             step_i += 1
             if step_i % args.log_every == 0:
-                logger.log(epoch=epoch, step=step_i, step_time=dt,
-                           sents_per_sec=cfg.bs / max(timer.mean, 1e-9),
-                           **metrics)
+                # materializing the metrics here is the only sync point
+                logger.log(epoch=epoch, step=step_i, **metrics)
+        jax.block_until_ready(state.params)
+        dt_epoch = time.time() - t_epoch
+        t_epoch = time.time()
+        logger.log(epoch=epoch, epoch_time=dt_epoch,
+                   sents_per_sec=len(train_ds) * cfg.bs / dt_epoch)
         ckpt.save(epoch + 1, state)
     logger.close()
-    print(f"[train] done: {step_i} steps, "
-          f"{cfg.bs / max(timer.mean, 1e-9):.0f} sentences/sec")
+    print(f"[train] done: {step_i} steps")
 
 
 def cmd_evaluate(args) -> None:

@@ -40,7 +40,9 @@ def create_mine_state(cfg: Config, key, lr: float = 1e-3,
     bs = batch_size or cfg.bs
     x = jnp.zeros((bs, cfg.seq_len, cfg.channel_dim), jnp.float32)
     params = mine.init(key, x, x)["params"]
-    tx = optax.adam(lr)
+    # gradient clipping is essential: the DV bound's exp(T) term makes raw
+    # Adam diverge (T grows unbounded on the marginal samples)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     return mine, MineState(params=params, opt_state=tx.init(params), tx=tx)
 
 

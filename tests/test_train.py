@@ -19,14 +19,14 @@ from deepsc_gan_tpu.train.steps import (
 @pytest.fixture(scope="module")
 def trained(tiny_cfg, tiny_batch):
     """Train the vanilla transceiver a few dozen steps on one batch."""
-    cfg = tiny_cfg
+    cfg = tiny_cfg.replace(lr=2e-3)
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                batch_size=cfg.bs)
     step = make_train_step(model, cfg)
     key = jax.random.PRNGKey(7)
     losses = []
-    for i in range(40):
+    for i in range(80):
         key, sub = jax.random.split(key)
         state, loss = step(state, tiny_batch, tiny_batch, sub, 0.02)
         losses.append(float(loss))
@@ -75,16 +75,16 @@ def test_eval_step_attack_hurts(trained, tiny_cfg, tiny_batch):
 
 def test_mine_estimates_positive_mi(tiny_cfg):
     """MINE on strongly correlated (x, y=x+small noise) should find
-    positive MI within a few hundred steps."""
+    clearly positive MI (true MI ~18 nats; the DV bound is noisy, so
+    average the tail)."""
     import optax
     from deepsc_gan_tpu.models.mine import MINE, mine_loss
 
-    cfg = tiny_cfg
     mine = MINE(hidden=64)
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((64, 4, 2))
     params = mine.init(key, x0, x0)["params"]
-    tx = optax.adam(5e-3)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt = tx.init(params)
 
     @jax.jit
@@ -98,11 +98,12 @@ def test_mine_estimates_positive_mi(tiny_cfg):
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), opt, mi
 
-    mi = -1.0
-    for i in range(300):
+    mis = []
+    for i in range(600):
         key, sub = jax.random.split(key)
         params, opt, mi = step(params, opt, sub)
-    assert float(mi) > 0.5, float(mi)
+        mis.append(float(mi))
+    assert np.mean(mis[-50:]) > 1.0, np.mean(mis[-50:])
 
 
 def test_mine_joint_step_runs(tiny_cfg, tiny_batch):
