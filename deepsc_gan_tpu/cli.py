@@ -186,18 +186,22 @@ def cmd_evaluate(args) -> None:
     elif args.eval_mode == "greedy_gan":
         decode = make_greedy_decode_gan(model, cfg, position_mode=pm)
         extra = (args.epsilon,)
-    else:  # teacher-forced eval with FGM attack
-        step = make_eval_step(model, cfg, full_target=star)
+    else:  # teacher-forced eval with FGM or PGD attack
+        if args.eval_mode == "pgd":
+            from deepsc_gan_tpu.train.steps import make_eval_step_pgd
+            step = make_eval_step_pgd(model, cfg, full_target=star)
+        else:
+            step = make_eval_step(model, cfg, full_target=star)
         table = []
         for snr in snrs:
             n_std = float(snr_to_noise(snr))
             cls, als = [], []
             for inp in batches:
                 key, sub = jax.random.split(key)
-                cl, al, _, _ = step(state, inp, inp, sub, args.pnr_db,
-                                    n_std, args.epsilon)
-                cls.append(float(cl))
-                als.append(float(al))
+                out = step(state, inp, inp, sub, args.pnr_db,
+                           n_std, args.epsilon)
+                cls.append(float(out[0]))
+                als.append(float(out[1]))
             table.append([snr, float(np.mean(cls)), float(np.mean(als))])
             print(f"SNR={snr}dB clean={table[-1][1]:.4f} "
                   f"attacked={table[-1][2]:.4f}")
@@ -239,7 +243,7 @@ def main(argv=None) -> None:
         else:
             p.add_argument("--eval-mode", default="greedy",
                            choices=["greedy", "greedy_attack", "greedy_gan",
-                                    "teacher_forced"])
+                                    "teacher_forced", "pgd"])
             p.add_argument("--eval-batches", type=int, default=8)
             p.add_argument("--snr-lo", type=int, default=0)
             p.add_argument("--snr-hi", type=int, default=18)

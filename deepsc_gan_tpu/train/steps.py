@@ -73,6 +73,44 @@ def _loss_kwargs(cfg: Config):
     return dict(pad_idx=cfg.pad_idx, extra_masked_ids=extra)
 
 
+def _final_wb(params):
+    """Final vocab-projection weights from the param tree (same top-level
+    layout for every transceiver variant)."""
+    fl = params["semantic_decoder"]["final_layer"]
+    return fl["kernel"], fl["bias"]
+
+
+def make_forward_loss(model, cfg: Config, kind: str, lkw: dict):
+    """Teacher-forced forward -> masked CE. Uses the fused
+    vocab-projection+CE path when cfg.fused_ce (staged forward, hidden
+    states only), else the composed __call__ with materialized logits."""
+    from deepsc_gan_tpu.ops.fused_ce import fused_ce_loss
+
+    def forward_loss(params, inp, tar_inp, tar_real, k_ch, k_do, p, pnr_db,
+                     n_std, enc_mask, combined_mask, dec_mask):
+        if cfg.fused_ce:
+            tx = model.apply({"params": params}, inp, enc_mask,
+                             deterministic=False, rngs={"dropout": k_do},
+                             method="encode")
+            y = model.apply({"params": params}, k_ch, tx, p, pnr_db, n_std,
+                            kind, method="transmit")
+            hidden = model.apply({"params": params}, tar_inp, y,
+                                 combined_mask, dec_mask,
+                                 deterministic=False,
+                                 rngs={"dropout": k_do},
+                                 method="decode_loss_ready")
+            W, bb = _final_wb(params)
+            return fused_ce_loss(hidden, W, bb, tar_real,
+                                 chunk=cfg.ce_chunk, **lkw)
+        logits, *_ = model.apply(
+            {"params": params}, inp, tar_inp, k_ch, p, pnr_db, kind, n_std,
+            enc_mask, combined_mask, dec_mask, deterministic=False,
+            rngs={"dropout": k_do})
+        return loss_function(tar_real, logits, **lkw)
+
+    return forward_loss
+
+
 def make_train_step(model, cfg: Config,
                     channel_kind: Optional[str] = None,
                     full_target: bool = False,
@@ -87,6 +125,7 @@ def make_train_step(model, cfg: Config,
     `step(state, inp, tar, key, n_std) -> (state, loss)`."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
+    forward_loss = make_forward_loss(model, cfg, kind, lkw)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, inp, tar, key, n_std):
@@ -100,11 +139,9 @@ def make_train_step(model, cfg: Config,
                       jnp.float32)
 
         def loss_fn(params):
-            logits, *_ = model.apply(
-                {"params": params}, inp, tar_inp, k_ch, p, 0.0, kind, n_std,
-                enc_mask, combined_mask, dec_mask, deterministic=False,
-                rngs={"dropout": k_do})
-            return loss_function(tar_real, logits, **lkw)
+            return forward_loss(params, inp, tar_inp, tar_real, k_ch, k_do,
+                                p, 0.0, n_std, enc_mask, combined_mask,
+                                dec_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
@@ -130,6 +167,7 @@ def make_train_multi_step(model, cfg: Config,
     and per-step keys are derived by split."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
+    forward_loss = make_forward_loss(model, cfg, kind, lkw)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi_step(state: TrainState, inps, tars, key, n_std):
@@ -145,11 +183,9 @@ def make_train_multi_step(model, cfg: Config,
                           jnp.float32)
 
             def loss_fn(params):
-                logits, *_ = model.apply(
-                    {"params": params}, inp, tar_inp, k_ch, p, 0.0, kind,
-                    n_std, enc_mask, combined_mask, dec_mask,
-                    deterministic=False, rngs={"dropout": k_do})
-                return loss_function(tar_real, logits, **lkw)
+                return forward_loss(params, inp, tar_inp, tar_real, k_ch,
+                                    k_do, p, 0.0, n_std, enc_mask,
+                                    combined_mask, dec_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             return state.apply_gradients(grads), loss
@@ -209,6 +245,68 @@ def make_train_attack_step(model, cfg: Config,
 
         adv_loss, grads = jax.value_and_grad(adv_loss_fn)(state.params)
         return state.apply_gradients(grads), (clean_loss, adv_loss)
+
+    return step
+
+
+def make_eval_step_pgd(model, cfg: Config,
+                       channel_kind: Optional[str] = None,
+                       full_target: bool = False,
+                       iters: int = 10) -> Callable:
+    """PGD-style eval (reference `eval_step_normal_pgd`,
+    utlis/eval.py:235-318): FGM direction from the gradient w.r.t. the
+    received y, then a bisection search on the attack strength
+    eps in [0, 1] for the smallest eps whose attacked loss exceeds the
+    clean loss — here as a `lax.while_loop`-free, fixed-trip
+    `lax.fori_loop` bisection (train.attacks.pgd_bisection). The
+    reference re-runs the full attacked forward per bisection iteration;
+    so does this, inside one jitted program.
+
+    Note the reference's PGD perturbation enters the channel pre-scaled by
+    sqrt(size) (eval.py:277-280), i.e. through the same `p` convention as
+    awgn(). Returns jitted
+    `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (clean_loss, attacked_loss, eps_star)`."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    from deepsc_gan_tpu.train.attacks import fgm_normalize, pgd_bisection
+
+    @jax.jit
+    def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
+        params = state.params
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        k1, k2 = jax.random.split(key)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        tx_sym = model.apply({"params": params}, inp, enc_mask,
+                             deterministic=True, method="encode")
+        y0 = model.apply({"params": params}, k1, tx_sym, p0, pnr_db, n_std,
+                         kind, method="transmit")
+
+        def loss_wrt_y(y):
+            logits = model.apply({"params": params}, tar_inp, y,
+                                 combined_mask, dec_mask, deterministic=True,
+                                 method="decode")
+            return loss_function(tar_real, logits, **lkw)
+
+        clean_loss, g = jax.value_and_grad(loss_wrt_y)(y0)
+        direction = fgm_normalize(g, epsilon)
+
+        def attacked_loss(pert):
+            y = model.apply({"params": params}, k2, tx_sym, pert, pnr_db,
+                            n_std, kind, method="transmit")
+            logits = model.apply({"params": params}, tar_inp, y,
+                                 combined_mask, dec_mask,
+                                 deterministic=True, method="decode")
+            return loss_function(tar_real, logits, **lkw)
+
+        eps_star, loss_m = pgd_bisection(attacked_loss, direction,
+                                         clean_loss, iters=iters)
+        return clean_loss, loss_m, eps_star
 
     return step
 

@@ -92,6 +92,11 @@ class Config:
     # --- compute
     dtype: str = "bfloat16"      # activations dtype on TPU
     param_dtype: str = "float32"
+    # fused vocab-projection+CE (ops/fused_ce.py): streams the 22k-vocab
+    # softmax over chunks instead of materializing (B,L,V) logits — the
+    # train step is HBM-bound on that tensor. Same numerics to ~1e-5.
+    fused_ce: bool = True
+    ce_chunk: int = 2048
 
     # --- parallelism (new capability; the reference is single-device)
     dp: int = 1   # data-parallel mesh size

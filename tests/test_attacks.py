@@ -89,3 +89,18 @@ def test_grad_wrt_intermediate_end_to_end(tiny_cfg, tiny_batch):
     # moving along the gradient increases the decode loss
     l1 = loss_wrt_y(y + 0.5 * fgm_normalize(g) * float(jnp.linalg.norm(y)))
     assert float(l1) > float(l0)
+
+
+def test_pgd_eval_step(tiny_cfg, tiny_batch):
+    """Full PGD eval: returns finite losses and eps in [0, 1]."""
+    from deepsc_gan_tpu.train.steps import make_eval_step_pgd
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    pstep = make_eval_step_pgd(model, cfg, iters=5)
+    clean, attacked, eps = pstep(state, tiny_batch, tiny_batch,
+                                 jax.random.PRNGKey(1), 10.0, 0.1, 1.0)
+    assert np.isfinite(float(clean)) and np.isfinite(float(attacked))
+    assert 0.0 <= float(eps) <= 1.0
