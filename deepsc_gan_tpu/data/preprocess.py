@@ -67,11 +67,18 @@ def cutted_data(cleaned: Iterable[str], min_length: int = 4, max_length: int = 3
     return out
 
 
-def process_file(text_path: str) -> List[str]:
-    # reference: preprocess_text.py:54-62
+def process_file(text_path: str, use_native: bool = True) -> List[str]:
+    # reference: preprocess_text.py:54-62. The native C++ pipeline
+    # (deepsc_gan_tpu/native) fuses the 5 regex passes into one; it is
+    # byte-parity-tested against normalize_string and used when a
+    # toolchain is available.
     with open(text_path, "r", encoding="utf8") as f:
         raw = f.read()
     sentences = raw.strip().split("\n")
+    if use_native:
+        from deepsc_gan_tpu import native
+        if native.available():
+            return cutted_data(native.normalize_lines(sentences))
     return cutted_data([normalize_string(s) for s in sentences])
 
 

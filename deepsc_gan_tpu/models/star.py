@@ -65,33 +65,32 @@ class StarAttention(nn.Module):
     def satellite(self, h, e, s):
         """One ring update: each h_i attends over
         {h_{i+1}, h_i, h_{i-1}, e_i, s}. h,e: (B,L,D); s: (B,D) -> (B,L,D).
-        ReLU is applied by the caller (reference modules.py:170)."""
-        q = self.wq(h)                      # (B,L,H,dh)
-        kh, vh = self.wk(h), self.wv(h)
-        ke, ve = self.wk(e), self.wv(e)
-        ks, vs = self.wk(s), self.wv(s)     # (B,H,dh)
+        ReLU is applied by the caller (reference modules.py:170).
+
+        K/V are projected ONCE on h and rolled (roll commutes with the
+        position-wise projections — 3 projections instead of 5), then the
+        5-context attention runs through the fused Pallas kernel on TPU
+        (ops/pallas/star.py; XLA fallback elsewhere)."""
+        from deepsc_gan_tpu.ops.pallas.star import star_satellite_attention
+
+        b, l, d = h.shape
+        flat = lambda t: t.reshape(t.shape[0], t.shape[1], d)
+        q = flat(self.wq(h))                      # (B,L,D)
+        kh, vh = flat(self.wk(h)), flat(self.wv(h))
+        ke, ve = flat(self.wk(e)), flat(self.wv(e))
+        ks = self.wk(s).reshape(b, 1, d)          # (B,1,D)
+        vs = self.wv(s).reshape(b, 1, d)
 
         # neighbors: reference cycle_shift uses tf.roll(+-1) on axis 1
         nxt = lambda t: jnp.roll(t, -1, axis=1)
         prv = lambda t: jnp.roll(t, 1, axis=1)
+        k_ctx = jnp.stack(
+            [nxt(kh), kh, prv(kh), ke, jnp.broadcast_to(ks, (b, l, d))])
+        v_ctx = jnp.stack(
+            [nxt(vh), vh, prv(vh), ve, jnp.broadcast_to(vs, (b, l, d))])
 
-        scale = jnp.sqrt(jnp.asarray(self.depth, jnp.float32))
-        dot = lambda k: jnp.einsum("blhd,blhd->blh", q, k)
-        scores = jnp.stack(
-            [dot(nxt(kh)), dot(kh), dot(prv(kh)), dot(ke),
-             jnp.einsum("blhd,bhd->blh", q, ks)],
-            axis=-1,
-        ).astype(jnp.float32) / scale        # (B,L,H,5)
-        w = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-
-        out = (
-            jnp.einsum("blh,blhd->blhd", w[..., 0], nxt(vh))
-            + jnp.einsum("blh,blhd->blhd", w[..., 1], vh)
-            + jnp.einsum("blh,blhd->blhd", w[..., 2], prv(vh))
-            + jnp.einsum("blh,blhd->blhd", w[..., 3], ve)
-            + jnp.einsum("blh,bhd->blhd", w[..., 4], vs)
-        )
-        return self.out(out)                 # (B,L,D)
+        out = star_satellite_attention(q, k_ctx, v_ctx, self.num_heads)
+        return self.out(out.reshape(b, l, self.num_heads, self.depth))
 
     def relay(self, s, h, h2: Optional[jnp.ndarray] = None):
         """Relay update: s attends over [s; h] (+ h2 for the decoder).
