@@ -12,7 +12,7 @@ executable.
 from __future__ import annotations
 
 import pickle
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

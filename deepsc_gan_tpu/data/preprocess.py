@@ -15,14 +15,13 @@ are the golden outputs of this pipeline.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import pickle
 import re
 import unicodedata
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Sequence, Tuple
 
-from deepsc_gan_tpu.data.vocab import SPECIAL_TOKENS, Vocab
+from deepsc_gan_tpu.data.vocab import Vocab
 
 _TAG_RE = re.compile(r"<[^>]*>")
 _PUNCT_SPACE_RE = re.compile(r"([!.?])")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import jax
 import numpy as np

@@ -31,7 +31,6 @@ decoder reads the current step's position ("step").
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

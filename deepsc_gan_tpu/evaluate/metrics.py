@@ -6,7 +6,7 @@ Behavioral spec from the reference (`DeepSC-GAN/utlis/tools.py:30-103`).
 from __future__ import annotations
 
 import re
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -18,8 +18,6 @@ and layernorm statistics in f32.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -21,7 +21,7 @@ results match the naive ops.losses path to ~1e-5 (tested).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

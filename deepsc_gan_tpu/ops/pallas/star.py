@@ -30,7 +30,6 @@ used by CPU tests), "auto" (pallas on TPU, xla elsewhere).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +73,8 @@ def _satellite_kernel(q_ref, k_ref, v_ref, seg_ref, out_ref, *, depth: int):
     # per-head scores for the 5 contexts: (T, H) each
     scores = [
         jnp.dot(q * k_ref[j].astype(jnp.float32), seg,
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) * scale
         for j in range(5)
     ]
     m = scores[0]
@@ -89,7 +89,8 @@ def _satellite_kernel(q_ref, k_ref, v_ref, seg_ref, out_ref, *, depth: int):
     for j in range(5):
         w = exps[j] / denom                               # (T, H)
         spread = jnp.dot(w, seg.T,
-                         preferred_element_type=jnp.float32)  # (T, D)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)  # (T, D)
         acc = acc + spread * v_ref[j].astype(jnp.float32)
     out_ref[:] = acc.astype(out_ref.dtype)
 

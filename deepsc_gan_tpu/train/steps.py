@@ -14,7 +14,7 @@ split from it, so a fixed key gives a bit-reproducible step.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

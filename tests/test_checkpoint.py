@@ -4,7 +4,6 @@ import os
 
 import jax
 import numpy as np
-import pytest
 
 from deepsc_gan_tpu.models.transceiver import make_model
 from deepsc_gan_tpu.train.steps import create_train_state, make_train_step

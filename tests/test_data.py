@@ -8,12 +8,7 @@ import numpy as np
 import pytest
 
 from deepsc_gan_tpu.data.loader import Dataset, pad_sequences, synthetic_dataset
-from deepsc_gan_tpu.data.preprocess import (
-    cutted_data,
-    dedupe,
-    normalize_string,
-    tokenize,
-)
+from deepsc_gan_tpu.data.preprocess import cutted_data, normalize_string, tokenize
 from deepsc_gan_tpu.data.vocab import SPECIAL_TOKENS, SeqToText, Vocab
 
 REF_VOCAB = "/root/reference/DeepSC-GAN/data/txt/vocab.json"

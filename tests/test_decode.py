@@ -2,9 +2,7 @@
 a noiseless channel, attacked variants."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from deepsc_gan_tpu.evaluate.greedy import (
     make_greedy_decode,

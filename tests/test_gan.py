@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
 from deepsc_gan_tpu.models.transceiver import make_model
@@ -15,7 +14,7 @@ from deepsc_gan_tpu.train.gan_steps import (
     phase_mask,
     selective_update,
 )
-from deepsc_gan_tpu.train.steps import TrainState, create_train_state
+from deepsc_gan_tpu.train.steps import create_train_state
 
 
 @pytest.fixture(scope="module")

@@ -2,7 +2,6 @@
 path (CPU tests; the compiled kernel runs on real TPU)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
