@@ -49,6 +49,8 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
     realizations differ per shard."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
+    from deepsc_gan_tpu.train.steps import make_forward_loss
+    forward_loss = make_forward_loss(model, cfg, kind, lkw)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(dp_axis))
@@ -64,11 +66,9 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
                       jnp.float32)
 
         def loss_fn(params):
-            logits, *_ = model.apply(
-                {"params": params}, inp, tar_inp, k_ch, p, 0.0, kind, n_std,
-                enc_mask, combined_mask, dec_mask, deterministic=False,
-                rngs={"dropout": k_do})
-            return loss_function(tar_real, logits, **lkw)
+            return forward_loss(params, inp, tar_inp, tar_real, k_ch, k_do,
+                                p, 0.0, n_std, enc_mask, combined_mask,
+                                dec_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
