@@ -119,7 +119,9 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(Config):
         name = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true", default=f.default)
+            # --flag / --no-flag pairs so True defaults stay disableable
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
+                                default=f.default)
         else:
             typ = type(f.default) if f.default is not None else str
             parser.add_argument(name, type=typ, default=f.default)

@@ -1,0 +1,54 @@
+"""End-to-end CLI smoke: train one tiny epoch on synthetic data, then run
+a short evaluation sweep from the saved checkpoint."""
+
+import os
+import pickle
+
+import pytest
+
+from deepsc_gan_tpu import cli
+
+TINY = [
+    "--bs", "4", "--vocab-size", "40", "--seq-len", "12",
+    "--max-length", "11",
+    "--encoder-num-layer", "1", "--decoder-num-layer", "1",
+    "--encoder-d-model", "16", "--decoder-d-model", "16",
+    "--encoder-d-ff", "32", "--decoder-d-ff", "32",
+    "--encoder-num-heads", "2", "--decoder-num-heads", "2",
+    "--cycle-num", "1", "--channel-hidden", "16", "--channel-dim", "8",
+    "--channel-dec-hidden", "16", "--dtype", "float32", "--ce-chunk", "16",
+    "--epochs", "1",
+]
+
+
+def test_cli_train_then_evaluate(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "missing_train.pkl"),
+        "--test-save-path", str(tmp_path / "missing_test.pkl"),
+        "--vocab-path", str(tmp_path / "missing_vocab.json"),
+        "--checkpoint-path", ckpt, "--log-save-path", log,
+    ]
+    cli.main(["train", "--variant", "transformer", "--log-every", "1000"]
+             + common)
+    assert os.path.isdir(os.path.join(ckpt, "transformer"))
+    assert os.path.exists(os.path.join(log, "train.jsonl"))
+
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "greedy", "--eval-batches", "1", "--snr-lo", "6",
+              "--snr-hi", "6"] + common)
+    out = os.path.join(log, "test-transformer-greedy.pkl")
+    assert os.path.exists(out)
+    with open(out, "rb") as f:
+        table = pickle.load(f)
+    assert len(table) == 1 and table[0][0] == 6.0
+    assert 0.0 <= table[0][1] <= 1.0
+
+
+def test_cli_bool_flags_disable():
+    from deepsc_gan_tpu.utils.config import para_config
+
+    cfg = para_config(["--no-fused-ce"])
+    assert cfg.fused_ce is False
+    assert para_config([]).fused_ce is True
