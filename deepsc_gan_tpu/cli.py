@@ -178,9 +178,19 @@ def cmd_evaluate(args) -> None:
 
     snrs = list(range(args.snr_lo, args.snr_hi + 1))
     if args.eval_mode == "greedy":
-        decode = make_greedy_decode(model, cfg, position_mode=pm)
-        extra = ()
-    elif args.eval_mode == "greedy_attack":
+        # all SNR points in one device call per batch
+        from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
+        from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+        sweep_fn = make_greedy_decode_sweep(model, cfg, position_mode=pm)
+        table = snr_sweep_bleu_fast(sweep_fn, state.params, batches, vocab,
+                                    cfg, snrs=snrs, pnr_db=args.pnr_db,
+                                    key=key)
+        for snr, bleu in table:
+            print(f"SNR={snr:.0f}dB BLEU-1={bleu:.4f}")
+        save_result_table(table, os.path.join(
+            cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
+        return
+    if args.eval_mode == "greedy_attack":
         decode = make_greedy_decode_attack(model, cfg, position_mode=pm)
         extra = (args.epsilon,)
     elif args.eval_mode == "greedy_gan":

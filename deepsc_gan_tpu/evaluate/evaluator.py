@@ -57,6 +57,38 @@ def snr_sweep_bleu(
     return table
 
 
+def snr_sweep_bleu_fast(
+    sweep_fn: Callable,
+    params,
+    batches: Sequence[np.ndarray],
+    vocab: Vocab,
+    cfg: Config,
+    snrs: Sequence[float] = tuple(range(0, 19)),
+    pnr_db: float = 0.0,
+    key=None,
+    bleu_weights=(1.0, 0.0, 0.0, 0.0),
+) -> List[List[float]]:
+    """Like snr_sweep_bleu but decodes ALL SNR points per batch in one
+    device call via evaluate.greedy.make_greedy_decode_sweep — one dispatch
+    per batch instead of len(snrs) (the TPU may sit behind a
+    high-latency tunnel, and the decode compute is tiny)."""
+    import jax.numpy as jnp
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    s2t = SeqToText(vocab, cfg.end_idx)
+    bleu = BleuScore(*bleu_weights)
+    n_stds = jnp.asarray([SNR_to_noise(s) for s in snrs], jnp.float32)
+    scores = [[] for _ in snrs]
+    for inp in batches:
+        key, sub = jax.random.split(key)
+        ids = np.asarray(sweep_fn(params, inp, sub, pnr_db, n_stds))
+        ref = [s2t.sequence_to_text(row[1:]) for row in np.asarray(inp)]
+        for si in range(len(snrs)):
+            hyp = [s2t.sequence_to_text(row[1:]) for row in ids[si]]
+            scores[si].extend(bleu.compute_score(ref, hyp))
+    return [[float(s), float(np.mean(sc))] for s, sc in zip(snrs, scores)]
+
+
 def save_result_table(table: List[List[float]], path: str) -> None:
     """Pickle a results table in the reference layout
     (log/eval-D-GAN-STAR/*.pkl: a list of [snr, metric...] rows)."""

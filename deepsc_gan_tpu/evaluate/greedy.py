@@ -94,6 +94,29 @@ def make_greedy_decode(model, cfg: Config,
     return decode
 
 
+def make_greedy_decode_sweep(model, cfg: Config,
+                             channel_kind: Optional[str] = None,
+                             position_mode: str = "step") -> Callable:
+    """Clean greedy decode across a VECTOR of noise levels in ONE jitted
+    call: `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`.
+
+    The BLEU-vs-SNR sweep is the reference's eval workload (19 SNR points
+    x test batches); vmapping the decode over n_std amortizes the
+    per-dispatch latency S-fold and lets one chip fill its compute with
+    S parallel decodes (multi-chip: shard the S axis over the mesh's
+    `snr` axis via parallel.sharding)."""
+    decode = make_greedy_decode(model, cfg, channel_kind, position_mode)
+    inner = decode.__wrapped__  # un-jitted single-point decode
+
+    @jax.jit
+    def sweep(params, inp, key, pnr_db, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return jax.vmap(inner, in_axes=(None, None, 0, None, 0))(
+            params, inp, keys, pnr_db, n_stds)
+
+    return sweep
+
+
 def make_greedy_decode_attack(model, cfg: Config,
                               channel_kind: Optional[str] = None,
                               position_mode: str = "step") -> Callable:

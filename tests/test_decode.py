@@ -76,3 +76,26 @@ def test_star_decode_positions(tiny_cfg, tiny_batch):
                          0.0, 0.1))
     assert ids.shape == (cfg.bs, cfg.max_length + 1)
     assert ids.max() < cfg.vocab_size and ids.min() >= 0
+
+
+def test_sweep_decode_matches_pointwise(tiny_cfg, tiny_batch):
+    """The vmapped all-SNR sweep must produce the same tokens as one-at-a-
+    time decodes at the same derived keys."""
+    import jax.numpy as jnp
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    sweep = make_greedy_decode_sweep(model, cfg)
+    dec = make_greedy_decode(model, cfg)
+    key = jax.random.PRNGKey(3)
+    n_stds = jnp.asarray([1.0, 0.3, 0.1])
+    ids = np.asarray(sweep(state.params, tiny_batch, key, 0.0, n_stds))
+    assert ids.shape == (3, cfg.bs, cfg.max_length + 1)
+    keys = jax.random.split(key, 3)
+    for s in range(3):
+        want = np.asarray(dec(state.params, tiny_batch, keys[s], 0.0,
+                              float(n_stds[s])))
+        np.testing.assert_array_equal(ids[s], want)
