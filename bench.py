@@ -27,6 +27,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the TPU may compile remotely (30-300s for the
+# scan program); repeat bench runs should hit the cache
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REFERENCE_SENTS_PER_SEC = 2500.0
 
 

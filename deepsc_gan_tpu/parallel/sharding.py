@@ -52,6 +52,11 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
     from deepsc_gan_tpu.train.steps import make_forward_loss
     forward_loss = make_forward_loss(model, cfg, kind, lkw)
 
+    ndp = mesh.shape[dp_axis]
+    if cfg.bs % ndp:
+        raise ValueError(
+            f"batch size {cfg.bs} not divisible by dp={ndp}")
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(dp_axis))
 
