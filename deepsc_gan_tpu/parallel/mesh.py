@@ -36,9 +36,9 @@ def make_mesh(dp: Optional[int] = None, snr: int = 1,
     n = len(devices)
     if dp is None:
         dp = n // snr
-    if dp * snr != n:
-        raise ValueError(f"dp*snr = {dp}*{snr} != {n} devices")
-    arr = np.array(devices).reshape(snr, dp)
+    if dp * snr > n:
+        raise ValueError(f"dp*snr = {dp}*{snr} > {n} devices")
+    arr = np.array(devices[: dp * snr]).reshape(snr, dp)
     return Mesh(arr, axis_names)
 
 

@@ -26,8 +26,10 @@ def test_make_mesh_shapes():
     assert mesh.shape == {"snr": 2, "dp": 4}
     mesh1 = local_mesh(8)
     assert mesh1.shape == {"dp": 8}
+    # subset meshes allowed; oversubscription is not
+    assert make_mesh(dp=3, snr=2).shape == {"snr": 2, "dp": 3}
     with pytest.raises(ValueError):
-        make_mesh(dp=3, snr=2)
+        make_mesh(dp=5, snr=2)
 
 
 def test_dp_train_step_matches_single_device(tiny_cfg, tiny_batch):
