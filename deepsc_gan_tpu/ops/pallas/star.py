@@ -129,6 +129,7 @@ def _pallas_satellite(q2, k_stack, v_stack, num_heads: int,
     return out[:n]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def star_satellite_attention(
     q: jnp.ndarray,          # (B, L, D) projected queries (flattened heads)
     k_ctx: jnp.ndarray,      # (5, B, L, D) projected keys per context slot
@@ -137,7 +138,15 @@ def star_satellite_attention(
 ) -> jnp.ndarray:
     """Fused 5-context per-head attention -> (B, L, D) combined heads
     (pre-output-projection). Context slot order is irrelevant (softmax is
-    permutation-invariant over keys)."""
+    permutation-invariant over keys).
+
+    Forward runs the Pallas kernel (on TPU); the backward is the analytic
+    softmax-attention VJP in XLA (recompute weights — tiny), defined via
+    custom_vjp because pallas_call has no reverse-mode rule."""
+    return _dispatch_fwd(q, k_ctx, v_ctx, num_heads)
+
+
+def _dispatch_fwd(q, k_ctx, v_ctx, num_heads):
     b, l, d = q.shape
     mode = star_kernel_mode()
     q2 = q.reshape(b * l, d)
@@ -148,6 +157,44 @@ def star_satellite_attention(
     out = _pallas_satellite(q2, k2, v2, num_heads,
                             interpret=(mode == "interpret"))
     return out.reshape(b, l, d)
+
+
+def _star_fwd(q, k_ctx, v_ctx, num_heads):
+    return _dispatch_fwd(q, k_ctx, v_ctx, num_heads), (q, k_ctx, v_ctx)
+
+
+def _star_bwd(num_heads, res, g):
+    """Analytic VJP: for out = sum_j w_j v_j, w = softmax_j(q.k_j / sqrt(dh))
+    per head:
+        dv_j = w_j g
+        a_j  = (g . v_j)  (per head)
+        ds_j = w_j (a_j - sum_i w_i a_i)
+        dq   = sum_j ds_j k_j / sqrt(dh);  dk_j = ds_j q / sqrt(dh)."""
+    q, k_ctx, v_ctx = res
+    b, l, d = q.shape
+    depth = d // num_heads
+    qh = q.reshape(b, l, num_heads, depth).astype(jnp.float32)
+    kh = k_ctx.reshape(5, b, l, num_heads, depth).astype(jnp.float32)
+    vh = v_ctx.reshape(5, b, l, num_heads, depth).astype(jnp.float32)
+    gh = g.reshape(b, l, num_heads, depth).astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.float32(depth))
+
+    scores = jnp.einsum("blhd,jblhd->jblh", qh, kh) * scale
+    w = jax.nn.softmax(scores, axis=0)                        # (5,B,L,H)
+
+    dv = jnp.einsum("jblh,blhd->jblhd", w, gh)
+    a = jnp.einsum("blhd,jblhd->jblh", gh, vh)
+    wa = jnp.sum(w * a, axis=0)                               # (B,L,H)
+    ds = w * (a - wa[None])
+    dq = jnp.einsum("jblh,jblhd->blhd", ds, kh) * scale
+    dk = jnp.einsum("jblh,blhd->jblhd", ds, qh) * scale
+
+    return (dq.reshape(b, l, d).astype(q.dtype),
+            dk.reshape(5, b, l, d).astype(k_ctx.dtype),
+            dv.reshape(5, b, l, d).astype(v_ctx.dtype))
+
+
+star_satellite_attention.defvjp(_star_fwd, _star_bwd)
 
 
 def _xla_satellite(q2, k2, v2, num_heads: int) -> jnp.ndarray:

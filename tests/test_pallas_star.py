@@ -97,3 +97,45 @@ def test_star_layer_runs_with_interpret_kernel(tiny_cfg, tiny_batch):
                        deterministic=True, method="encode")
     np.testing.assert_allclose(np.asarray(tx_x), np.asarray(tx_p),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_custom_vjp_matches_autodiff_of_xla_math():
+    """Gradients through star_satellite_attention (custom VJP) must match
+    plain autodiff of the equivalent XLA math."""
+    import jax.numpy as jnp
+
+    q, k_ctx, v_ctx = _inputs(b=2, l=5, d=16, key=11)
+    H = 4
+
+    def via_op(q, k, v):
+        set_star_kernel_mode("xla")
+        return jnp.sum(star_satellite_attention(q, k, v, H) ** 2)
+
+    def via_math(q, k, v):
+        b, l, d = q.shape
+        out = _xla_satellite(q.reshape(b * l, d), k.reshape(5, b * l, d),
+                             v.reshape(5, b * l, d), H).reshape(b, l, d)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(via_op, argnums=(0, 1, 2))(q, k_ctx, v_ctx)
+    g2 = jax.grad(via_math, argnums=(0, 1, 2))(q, k_ctx, v_ctx)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   rtol=1e-4)
+
+
+def test_star_train_step_differentiates_through_kernel(tiny_cfg, tiny_batch):
+    """Full star train step with the interpreted Pallas kernel in the
+    forward (the path that failed on TPU before the custom VJP)."""
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+
+    set_star_kernel_mode("interpret")
+    cfg = tiny_cfg
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    step = make_train_step(model, cfg, full_target=True)
+    state, loss = step(state, tiny_batch, tiny_batch, jax.random.PRNGKey(1),
+                       0.1)
+    assert np.isfinite(float(loss))
