@@ -57,7 +57,11 @@ def _is_star(variant: str) -> bool:
 
 
 def _position_mode(variant: str) -> str:
-    return "last" if _is_star(variant) else "step"
+    # star decoders are effectively non-autoregressive (their output length
+    # is the MEMORY length and position i predicts token i) — single-shot
+    # decode is the mode consistent with their training objective; the
+    # reference's [:, -1:] behavior remains available as "last"
+    return "oneshot" if _is_star(variant) else "step"
 
 
 def _load_dataset(cfg: Config, path: str, shuffle: bool, seed: int = 0) -> Dataset:

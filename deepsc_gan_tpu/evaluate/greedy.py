@@ -49,10 +49,32 @@ from deepsc_gan_tpu.utils.config import Config
 def _decode_loop(model, params, mem, enc_padding_mask, batch: int,
                  max_length: int, start_idx: int, pad_idx: int,
                  position_mode: str):
-    """Shared fori_loop over the fixed output buffer."""
+    """Shared fori_loop over the fixed output buffer.
+
+    position_mode:
+      "step"    — vanilla autoregressive: read position i at step i;
+      "last"    — the reference's star decode ([:, -1:] each step,
+                  utlis/eval.py:70-71 — reads the last MEMORY position);
+      "oneshot" — single-pass non-autoregressive decode: the star decoder's
+                  output position i predicts token i directly from the
+                  channel signal (the target stream only enters via the
+                  relay node), so ONE decoder pass + argmax over all
+                  positions is the decode consistent with its training
+                  objective — and is max_length times cheaper."""
     buf = jnp.full((batch, max_length + 1), pad_idx, jnp.int32)
     buf = buf.at[:, 0].set(start_idx)
     causal = create_look_ahead_mask(max_length + 1)
+
+    if position_mode == "oneshot":
+        pad_mask = create_padding_mask(buf, pad_idx)
+        combined = jnp.maximum(pad_mask, causal)
+        h = model.apply({"params": params}, buf, mem, combined,
+                        enc_padding_mask, deterministic=True,
+                        apply_final=False, method="_semantic_decode")
+        logits = model.apply({"params": params}, h,
+                             method="final_projection")
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return ids[:, : max_length + 1]
 
     def body(i, buf):
         pad_mask = create_padding_mask(buf, pad_idx)

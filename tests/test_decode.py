@@ -99,3 +99,25 @@ def test_sweep_decode_matches_pointwise(tiny_cfg, tiny_batch):
         want = np.asarray(dec(state.params, tiny_batch, keys[s], 0.0,
                               float(n_stds[s])))
         np.testing.assert_array_equal(ids[s], want)
+
+
+def test_star_oneshot_decode(tiny_cfg, tiny_batch):
+    """Single-shot star decode: trained star model should reconstruct
+    tokens position-wise at low noise (non-autoregressive objective)."""
+    cfg = tiny_cfg.replace(lr=2e-3, encoder_dropout=0.0,
+                           decoder_dropout=0.0)
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    step = make_train_step(model, cfg, full_target=True)
+    key = jax.random.PRNGKey(0)
+    for i in range(200):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tiny_batch, tiny_batch, sub, 0.01)
+    dec = make_greedy_decode(model, cfg, position_mode="oneshot")
+    ids = np.asarray(dec(state.params, tiny_batch, jax.random.PRNGKey(1),
+                         0.0, 0.01))
+    ref = np.asarray(tiny_batch)
+    mask = ref[:, 1:] != cfg.pad_idx
+    acc = float((ids[:, 1:][mask] == ref[:, 1:][mask]).mean())
+    assert acc > 0.8, (acc, float(loss))
