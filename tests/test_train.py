@@ -117,3 +117,31 @@ def test_mine_joint_step_runs(tiny_cfg, tiny_batch):
     state, mstate, (ce, mi) = step(state, mstate, tiny_batch, tiny_batch,
                                    jax.random.PRNGKey(2), 0.1)
     assert np.isfinite(float(ce)) and np.isfinite(float(mi))
+
+
+def test_eval_step_fading_uses_awgn_gradient(tiny_cfg, tiny_batch):
+    """Non-AWGN eval: the FGM gradient is taken through an AWGN pass
+    (reference eval.py:204-213) — step must run and return finite losses
+    for Rayleigh and Rician."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    for kind in ("Rayleigh", "Rician"):
+        ev = make_eval_step(model, cfg, channel_kind=kind)
+        cl, al, _, _ = ev(state, tiny_batch, tiny_batch,
+                          jax.random.PRNGKey(1), 5.0, 0.3, 1.0)
+        assert np.isfinite(float(cl)) and np.isfinite(float(al)), kind
+
+
+def test_train_step_fading_channels(tiny_cfg, tiny_batch):
+    """Training through the fading channels: grads flow, loss finite."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    for kind in ("Rayleigh", "Rician"):
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   batch_size=cfg.bs)
+        step = make_train_step(model, cfg, channel_kind=kind)
+        state, loss = step(state, tiny_batch, tiny_batch,
+                           jax.random.PRNGKey(1), 0.3)
+        assert np.isfinite(float(loss)), kind
