@@ -49,6 +49,20 @@ from deepsc_gan_tpu.utils.checkpoint import CheckpointManager
 from deepsc_gan_tpu.utils.config import Config, add_config_args, config_from_args
 from deepsc_gan_tpu.utils.logging import MetricLogger
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — remote TPU compiles take minutes;
+    repeat invocations should hit disk."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+
 STAR_VARIANTS = ("star", "star_multi")
 
 

@@ -34,6 +34,9 @@ from deepsc_gan_tpu.train.steps import (
 )
 from deepsc_gan_tpu.utils.config import Config
 
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def train(model, cfg, step_call, ds, key, epochs, gan=False):
     """step_call(state, inp, tar, key, n_std) -> (state, metrics)."""
