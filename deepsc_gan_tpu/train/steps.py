@@ -54,9 +54,16 @@ def create_train_state(model, cfg: Config, key,
     tar_inp = jnp.zeros((bs, cfg.seq_len - 1), jnp.int32)
     p = jnp.zeros((bs, cfg.seq_len, cfg.channel_dim), jnp.float32)
     k_init, k_ch = jax.random.split(key)
-    variables = model.init(
-        {"params": k_init, "dropout": k_init}, inp, tar_inp, k_ch, p, 0.0,
-        deterministic=True, **init_kwargs)
+
+    # jit the init: eager init dispatches hundreds of small ops (minutes
+    # over a tunneled TPU); jitted it is one program
+    @jax.jit
+    def _init(k_init, k_ch, inp, tar_inp, p):
+        return model.init(
+            {"params": k_init, "dropout": k_init}, inp, tar_inp, k_ch, p,
+            0.0, deterministic=True, **init_kwargs)
+
+    variables = _init(k_init, k_ch, inp, tar_inp, p)
     tx = tx or make_optimizer(cfg.lr, cfg.schedule, cfg.encoder_d_model,
                               cfg.warmup_steps)
     params = variables["params"]
