@@ -52,15 +52,19 @@ def _fwd_impl(h, W, b, labels, chunk):
     b32 = b.astype(jnp.float32)
     Wp, bp, vp = _pad_vocab(W32, b32, chunk)
     n = h.shape[0]
-    Wc = Wp.reshape(W.shape[0], vp // chunk, chunk).transpose(1, 0, 2)
-    bc = bp.reshape(vp // chunk, chunk)
+    nc = vp // chunk
 
     gold = (jnp.einsum("nd,dn->n", h32, W32[:, labels])
             + b32[labels])
 
-    def body(carry, wb):
+    # chunks are taken by dynamic_slice along the (minor) vocab axis — a
+    # view-like slice in W's native layout, instead of a reshape+transpose
+    # that would materialize a relaid-out copy of the whole table per step
+    def body(carry, idx):
         m, s = carry
-        Wk, bk = wb
+        Wk = jax.lax.dynamic_slice(Wp, (0, idx * chunk),
+                                   (Wp.shape[0], chunk))
+        bk = jax.lax.dynamic_slice(bp, (idx * chunk,), (chunk,))
         lg = h32 @ Wk + bk[None, :]                     # (N, C) transient
         cm = jnp.max(lg, axis=-1)
         nm = jnp.maximum(m, cm)
@@ -69,7 +73,7 @@ def _fwd_impl(h, W, b, labels, chunk):
         return (nm, s), None
 
     init = (jnp.full((n,), NEG, jnp.float32), jnp.zeros((n,), jnp.float32))
-    (m, s), _ = jax.lax.scan(body, init, (Wc, bc))
+    (m, s), _ = jax.lax.scan(body, init, jnp.arange(nc))
     lse = m + jnp.log(s)
     return lse - gold, lse
 
@@ -87,22 +91,28 @@ def _fused_bwd(chunk, res, g):
     Wp, bp, vp = _pad_vocab(W32, b32, chunk)
     d = W.shape[0]
     v = W.shape[1]
-    Wc = Wp.reshape(d, vp // chunk, chunk).transpose(1, 0, 2)
-    bc = bp.reshape(vp // chunk, chunk)
+    nc = vp // chunk
     g32 = g.astype(jnp.float32)
 
-    def body(dh, wb):
-        Wk, bk = wb
+    def body(carry, idx):
+        dh, dW, db = carry
+        Wk = jax.lax.dynamic_slice(Wp, (0, idx * chunk), (d, chunk))
+        bk = jax.lax.dynamic_slice(bp, (idx * chunk,), (chunk,))
         lg = h32 @ Wk + bk[None, :]
         p = jnp.exp(lg - lse[:, None]) * g32[:, None]    # (N, C) transient
         dh = dh + p @ Wk.T
-        dWk = h32.T @ p                                   # (D, C)
-        dbk = jnp.sum(p, axis=0)
-        return dh, (dWk, dbk)
+        dW = jax.lax.dynamic_update_slice(dW, h32.T @ p, (0, idx * chunk))
+        db = jax.lax.dynamic_update_slice(db, jnp.sum(p, axis=0),
+                                          (idx * chunk,))
+        return (dh, dW, db), None
 
-    dh, (dWs, dbs) = jax.lax.scan(body, jnp.zeros_like(h32), (Wc, bc))
-    dW = dWs.transpose(1, 0, 2).reshape(d, vp)[:, :v]
-    db = dbs.reshape(vp)[:v]
+    (dh, dW, db), _ = jax.lax.scan(
+        body,
+        (jnp.zeros_like(h32), jnp.zeros((d, vp), jnp.float32),
+         jnp.zeros((vp,), jnp.float32)),
+        jnp.arange(nc))
+    dW = dW[:, :v]
+    db = db[:v]
 
     # the -onehot part of (softmax - onehot)
     Wl = W32[:, labels]                                   # (D, N)
