@@ -52,3 +52,24 @@ def test_cli_bool_flags_disable():
     cfg = para_config(["--no-fused-ce"])
     assert cfg.fused_ce is False
     assert para_config([]).fused_ce is True
+
+
+def test_cli_teacher_forced_and_pgd_eval(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", ckpt, "--log-save-path", log,
+    ]
+    for mode in ("teacher_forced", "pgd"):
+        cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+                  mode, "--eval-batches", "1", "--snr-lo", "6",
+                  "--snr-hi", "6"] + common)
+        out = os.path.join(log, "eval-transformer.pkl")
+        assert os.path.exists(out)
+        with open(out, "rb") as f:
+            table = pickle.load(f)
+        assert table[0][0] == 6 and len(table[0]) == 3
+        os.remove(out)
