@@ -138,9 +138,18 @@ def fused_ce_loss(
     """Reference-parity masked CE (see ops.losses.loss_function) computed
     from decoder HIDDEN states + final-projection weights, fused.
     hidden: (B, L, D); W: (D, V); b: (V,); real: (B, L)."""
+    from deepsc_gan_tpu.ops.pallas.ce import (
+        ce_kernel_mode,
+        pallas_softmax_xent,
+    )
+
     bsz, length, dim = hidden.shape
-    ce = fused_softmax_xent(hidden.reshape(-1, dim), W, b,
-                            real.reshape(-1).astype(jnp.int32), chunk)
+    flat_labels = real.reshape(-1).astype(jnp.int32)
+    if ce_kernel_mode() in ("pallas", "interpret"):
+        ce = pallas_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels)
+    else:
+        ce = fused_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels,
+                                chunk)
     ce = ce.reshape(bsz, length)
     mask = (real != pad_idx).astype(jnp.float32)
     if extra_masked_ids:
