@@ -145,7 +145,13 @@ def fused_ce_loss(
 
     bsz, length, dim = hidden.shape
     flat_labels = real.reshape(-1).astype(jnp.int32)
-    if ce_kernel_mode() in ("pallas", "interpret"):
+    mode = ce_kernel_mode()
+    # measured on v5e: the lax.scan path edges out the Pallas kernels at
+    # small N (XLA pipelines the scan well); the kernels win once chunk
+    # logits would spill VMEM — dispatch by row count under "auto"-pallas
+    use_kernel = mode == "interpret" or (
+        mode == "pallas" and bsz * length >= 4096)
+    if use_kernel:
         ce = pallas_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels)
     else:
         ce = fused_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels,
