@@ -31,7 +31,6 @@ from deepsc_gan_tpu.data.loader import (
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu, save_result_table
 from deepsc_gan_tpu.evaluate.greedy import (
-    make_greedy_decode,
     make_greedy_decode_attack,
     make_greedy_decode_gan,
 )

@@ -28,7 +28,7 @@ headroom, and the same recipe carries to larger vocabularies/models.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Optional
 
 import jax
