@@ -4,4 +4,5 @@ from deepsc_gan_tpu.parallel.sharding import (  # noqa: F401
     replicate,
     make_parallel_train_step,
     make_parallel_snr_sweep,
+    make_parallel_greedy_sweep,
 )

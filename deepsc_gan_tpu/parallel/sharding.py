@@ -85,6 +85,29 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
     )
 
 
+def make_parallel_greedy_sweep(model, cfg: Config, mesh: Mesh,
+                               channel_kind: Optional[str] = None,
+                               position_mode: str = "step",
+                               snr_axis: str = "snr") -> Callable:
+    """Greedy decode across a VECTOR of noise levels with the S axis
+    sharded over the mesh's snr axis — each device (group) decodes its own
+    SNR points of the BLEU-vs-SNR curve. Returns
+    `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids` with
+    params/inputs replicated and S sharded. S must be divisible by the
+    snr-axis size."""
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+
+    sweep = make_greedy_decode_sweep(model, cfg, channel_kind,
+                                     position_mode)
+    repl = NamedSharding(mesh, P())
+    snr_sh = NamedSharding(mesh, P(snr_axis))
+    return jax.jit(
+        sweep.__wrapped__,
+        in_shardings=(repl, repl, repl, repl, snr_sh),
+        out_shardings=snr_sh,
+    )
+
+
 def make_parallel_snr_sweep(model, cfg: Config, mesh: Mesh,
                             channel_kind: Optional[str] = None,
                             full_target: bool = False,

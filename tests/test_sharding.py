@@ -95,3 +95,29 @@ def test_snr_sweep_sharded(tiny_cfg, tiny_batch):
                             mesh, jax.sharding.PartitionSpec("snr"))))
     assert ce.shape == (8,) and acc.shape == (8,)
     assert np.all(np.isfinite(np.asarray(ce)))
+
+
+def test_greedy_sweep_sharded_matches_vmapped(tiny_cfg, tiny_batch):
+    """Mesh-sharded greedy sweep produces the same tokens as the
+    single-device vmapped sweep."""
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_greedy_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=8)
+    par = make_parallel_greedy_sweep(model, cfg, mesh)
+    ref_sweep = make_greedy_decode_sweep(model, cfg)
+    n_stds = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.18, 0.12, 0.08])
+    key = jax.random.PRNGKey(4)
+
+    want = np.asarray(ref_sweep(state.params, tiny_batch, key, 0.0, n_stds))
+    got = np.asarray(par(
+        replicate(state.params, mesh), replicate(tiny_batch, mesh),
+        replicate(key, mesh),
+        replicate(jnp.asarray(0.0), mesh),
+        jax.device_put(n_stds, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("snr")))))
+    np.testing.assert_array_equal(got, want)
