@@ -207,7 +207,11 @@ def cmd_evaluate(args) -> None:
         save_result_table(table, os.path.join(
             cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
         return
-    if args.eval_mode == "greedy_attack":
+    if args.eval_mode == "beam":
+        from deepsc_gan_tpu.evaluate.beam import make_beam_decode
+        decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
+        extra = ()
+    elif args.eval_mode == "greedy_attack":
         decode = make_greedy_decode_attack(model, cfg, position_mode=pm)
         extra = (args.epsilon,)
     elif args.eval_mode == "greedy_gan":
@@ -269,8 +273,9 @@ def main(argv=None) -> None:
             p.add_argument("--log-every", type=int, default=10)
         else:
             p.add_argument("--eval-mode", default="greedy",
-                           choices=["greedy", "greedy_attack", "greedy_gan",
-                                    "teacher_forced", "pgd"])
+                           choices=["greedy", "beam", "greedy_attack",
+                                    "greedy_gan", "teacher_forced", "pgd"])
+            p.add_argument("--beam-size", type=int, default=4)
             p.add_argument("--eval-batches", type=int, default=8)
             p.add_argument("--snr-lo", type=int, default=0)
             p.add_argument("--snr-hi", type=int, default=18)

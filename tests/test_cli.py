@@ -73,3 +73,19 @@ def test_cli_teacher_forced_and_pgd_eval(tmp_path):
             table = pickle.load(f)
         assert table[0][0] == 6 and len(table[0]) == 3
         os.remove(out)
+
+
+def test_cli_beam_eval(tmp_path):
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", log,
+    ]
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode", "beam",
+              "--beam-size", "2", "--eval-batches", "1", "--snr-lo", "6",
+              "--snr-hi", "6"] + common)
+    out = os.path.join(log, "test-transformer-beam.pkl")
+    assert os.path.exists(out)
