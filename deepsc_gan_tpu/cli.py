@@ -218,7 +218,13 @@ def cmd_evaluate(args) -> None:
         decode = make_greedy_decode_gan(model, cfg, position_mode=pm)
         extra = (args.epsilon,)
     else:  # teacher-forced eval with FGM or PGD attack
-        if args.eval_mode == "pgd":
+        if variant == "gan":
+            # the GAN transceiver returns (pred_p, pred_r, tx, y_r) — its
+            # teacher-forced FGM eval has its own step (reference
+            # eval_step_FGM); PGD is not defined for it in the reference
+            from deepsc_gan_tpu.train.gan_steps import make_gan_eval_step
+            step = make_gan_eval_step(model, cfg)
+        elif args.eval_mode == "pgd":
             from deepsc_gan_tpu.train.steps import make_eval_step_pgd
             step = make_eval_step_pgd(model, cfg, full_target=star)
         else:

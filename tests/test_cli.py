@@ -89,3 +89,19 @@ def test_cli_beam_eval(tmp_path):
               "--snr-hi", "6"] + common)
     out = os.path.join(log, "test-transformer-beam.pkl")
     assert os.path.exists(out)
+
+
+def test_cli_gan_teacher_forced_eval(tmp_path):
+    """GAN variant routes teacher-forced eval through its own FGM step."""
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", log,
+    ]
+    cli.main(["evaluate", "--variant", "gan", "--eval-mode",
+              "teacher_forced", "--eval-batches", "1", "--snr-lo", "6",
+              "--snr-hi", "6"] + common)
+    assert os.path.exists(os.path.join(log, "eval-gan.pkl"))
