@@ -116,7 +116,8 @@ def cmd_train(args) -> None:
     if mode == "gan":
         step = make_gan_train_step(model, cfg)
     elif mode == "attack":
-        step = make_train_attack_step(model, cfg, full_target=star)
+        step = make_train_attack_step(model, cfg, full_target=star,
+                                      adv_weight=args.adv_weight)
     elif mode == "mine":
         mine, mine_state = create_mine_state(cfg, key)
         step = make_mine_train_step(model, mine, cfg)
@@ -276,6 +277,8 @@ def main(argv=None) -> None:
         if name == "train":
             p.add_argument("--train-mode", default="plain",
                            choices=["plain", "attack", "gan", "mine"])
+            p.add_argument("--adv-weight", type=float, default=1.0,
+                           help="attack mode: w*adv + (1-w)*clean loss")
             p.add_argument("--log-every", type=int, default=10)
         else:
             p.add_argument("--eval-mode", default="greedy",

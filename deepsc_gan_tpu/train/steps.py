@@ -205,11 +205,19 @@ def make_train_multi_step(model, cfg: Config,
 
 def make_train_attack_step(model, cfg: Config,
                            channel_kind: Optional[str] = None,
-                           full_target: bool = False) -> Callable:
+                           full_target: bool = False,
+                           adv_weight: float = 1.0) -> Callable:
     """FGM adversarial step (reference `train_attack_step`,
     trainer.py:30-64). `full_target=True` reproduces the reference's use of
     the UN-shifted target as `tar_real` (trainer.py:32) — only valid for
     star decoders whose output length equals the memory length.
+
+    `adv_weight` mixes the update objective:
+    w*adv_loss + (1-w)*clean_loss. The reference updates on the
+    adversarial loss ONLY (w=1, trainer.py:54-62), which at small data
+    scales collapses clean quality (RESULTS.md); w~0.5 is the standard
+    robust-training remedy, offered as an extension.
+
     Returns jitted `step(state, inp, tar, key, pnr_db, n_std, epsilon)
     -> (state, (clean_loss, adv_loss))`."""
     kind = channel_kind or cfg.channel
@@ -242,15 +250,24 @@ def make_train_attack_step(model, cfg: Config,
         clean_loss, g_y = jax.value_and_grad(loss_wrt_y)(y1, state.params)
         r = fgm_normalize(g_y, epsilon)
 
-        # ---- phase 2: forward with p = r, update on the adversarial loss
+        # ---- phase 2: forward with p = r; update on the (mixed) objective
         def adv_loss_fn(params):
             logits, *_ = model.apply(
                 {"params": params}, inp, tar_inp, k_ch2, r, pnr_db, kind,
                 n_std, enc_mask, combined_mask, dec_mask,
                 deterministic=False, rngs={"dropout": k_do2})
-            return loss_function(tar_real, logits, **lkw)
+            adv = loss_function(tar_real, logits, **lkw)
+            if adv_weight >= 1.0:
+                return adv, adv  # reference behavior: adversarial only
+            logits_c, *_ = model.apply(
+                {"params": params}, inp, tar_inp, k_ch2, p0, pnr_db, kind,
+                n_std, enc_mask, combined_mask, dec_mask,
+                deterministic=False, rngs={"dropout": k_do2})
+            clean = loss_function(tar_real, logits_c, **lkw)
+            return adv_weight * adv + (1.0 - adv_weight) * clean, adv
 
-        adv_loss, grads = jax.value_and_grad(adv_loss_fn)(state.params)
+        (_, adv_loss), grads = jax.value_and_grad(
+            adv_loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), (clean_loss, adv_loss)
 
     return step
