@@ -44,9 +44,12 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
                              dp_axis: str = "dp") -> Callable:
     """Data-parallel version of train.steps.make_train_step. Returns
     `step(state, inp, tar, key, n_std) -> (state, loss)` with batch inputs
-    sharded over `dp_axis` and state replicated. Each device derives its
-    own channel/dropout key by folding in its dp index so noise
-    realizations differ per shard."""
+    sharded over `dp_axis` and state replicated. The PRNG key is GLOBAL
+    (GSPMD semantics): the same program as the single-device step, with
+    the batch axis sharded — so the dp step is bit-equivalent to the
+    single-device step on the gathered batch (tested in
+    tests/test_sharding.py), and noise realizations differ across the
+    batch (not per-device) exactly as they do unsharded."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
     from deepsc_gan_tpu.train.steps import make_forward_loss
