@@ -26,6 +26,7 @@ from deepsc_gan_tpu.data.loader import (
     Dataset,
     load_token_lists,
     pad_sequences,
+    stacked_batches,
     synthetic_dataset,
 )
 from deepsc_gan_tpu.data.vocab import Vocab
@@ -100,32 +101,81 @@ def _load_vocab(cfg: Config) -> Vocab:
     return Vocab(t2i)
 
 
+def _load_train_dataset(cfg: Config, seed: int):
+    """Training dataset honoring Config.aug_* (data/augment.py)."""
+    from deepsc_gan_tpu.data.augment import make_train_dataset
+
+    path = cfg.train_save_path
+    if os.path.exists(path):
+        return make_train_dataset(load_token_lists(path), cfg, seed=seed)
+    print(f"[data] {path} not found -> synthetic dataset", file=sys.stderr)
+    return synthetic_dataset(4096, cfg.seq_len, cfg.vocab_size, cfg.bs,
+                             seed)
+
+
 def cmd_train(args) -> None:
     cfg = config_from_args(args)
     variant = args.variant
     mode = args.train_mode
     star = _is_star(variant)
+    if args.distributed:
+        from deepsc_gan_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed()
 
     key = jax.random.PRNGKey(args.seed)
     model = make_model(cfg, variant)
     init_kw = {"traingan": True} if variant == "gan" else {}
     state = create_train_state(model, cfg, key, **init_kw)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
-    print(f"[train] variant={variant} mode={mode} params={n_params:,}")
 
-    if mode == "gan":
+    # --- pick the execution path (fastest available for the mode/mesh) ---
+    # plain mode on one chip: K-step lax.scan per dispatch (bench-level
+    # throughput — the chip may sit behind a high-latency tunnel);
+    # dp/tp > 1: GSPMD / shard_map parallel steps over the mesh.
+    mesh = None
+    scan_k = max(1, args.scan_steps)
+    if cfg.dp > 1 or cfg.tp > 1:
+        from deepsc_gan_tpu.parallel.mesh import make_mesh
+        if mode != "plain":
+            raise SystemExit(f"--dp/--tp currently support plain training "
+                             f"(got mode={mode})")
+        if cfg.tp > 1:
+            from deepsc_gan_tpu.parallel.tensor_parallel import (
+                make_tp_train_step, shard_tp_state)
+            mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
+                             axis_names=("tp", "dp"))
+            step = make_tp_train_step(model, cfg, mesh)(state)
+            state = shard_tp_state(state, mesh)
+        else:
+            from deepsc_gan_tpu.parallel.sharding import (
+                make_parallel_train_step, replicate, shard_batch)
+            mesh = make_mesh(dp=cfg.dp, snr=1)
+            step = make_parallel_train_step(model, cfg, mesh)
+            state = replicate(state, mesh)
+        path = f"mesh{dict(mesh.shape)}"
+    elif mode == "gan":
         step = make_gan_train_step(model, cfg)
+        path = "gan3phase"
     elif mode == "attack":
         step = make_train_attack_step(model, cfg, full_target=star,
                                       adv_weight=args.adv_weight)
+        path = "fgm"
     elif mode == "mine":
         mine, mine_state = create_mine_state(cfg, key)
         step = make_mine_train_step(model, mine, cfg)
+        path = "mine"
     else:
-        step = make_train_step(model, cfg, full_target=star)
+        from deepsc_gan_tpu.train.steps import make_train_multi_step
+        if scan_k > 1:
+            step = make_train_multi_step(model, cfg, full_target=star)
+            path = f"scan{scan_k}"
+        else:
+            step = make_train_step(model, cfg, full_target=star)
+            path = "single"
+    print(f"[train] variant={variant} mode={mode} path={path} "
+          f"params={n_params:,}")
 
-    train_ds = _load_dataset(cfg, cfg.train_save_path, shuffle=True,
-                             seed=args.seed)
+    train_ds = _load_train_dataset(cfg, args.seed)
     n_std = float(snr_to_noise(cfg.train_snr))
     logger = MetricLogger(os.path.join(cfg.log_save_path, "train.jsonl"))
     ckpt = CheckpointManager(
@@ -135,37 +185,61 @@ def cmd_train(args) -> None:
     # loop (the TPU may sit behind a network tunnel — a per-step sync would
     # serialize host->device latency into every step). Metrics are fetched
     # only at log points; XLA queues the steps back-to-back.
+    stacker = (stacked_batches(train_ds, scan_k)
+               if (mode == "plain" and mesh is None and scan_k > 1) else None)
     step_i = 0
     t_epoch = time.time()
     for epoch in range(cfg.epochs):
-        for inp, tar in train_ds:
-            key, sub = jax.random.split(key)
-            if mode == "gan":
-                state, (loss, g_loss, d_loss) = step(state, inp, tar, sub,
-                                                     n_std)
-                metrics = dict(loss=loss, g_loss=g_loss, d_loss=d_loss)
-            elif mode == "attack":
-                state, (loss, loss_m) = step(state, inp, tar, sub,
-                                             args.pnr_db, n_std,
-                                             args.epsilon)
-                metrics = dict(loss=loss, loss_adv=loss_m)
-            elif mode == "mine":
-                state, mine_state, (loss, mi) = step(state, mine_state, inp,
-                                                     tar, sub, n_std)
-                metrics = dict(loss=loss, mi=mi)
-            else:
-                state, loss = step(state, inp, tar, sub, n_std)
-                metrics = dict(loss=loss)
-            step_i += 1
-            if step_i % args.log_every == 0:
-                # materializing the metrics here is the only sync point
-                logger.log(epoch=epoch, step=step_i, **metrics)
+        epoch_sents = len(train_ds) * cfg.bs
+        if stacker is not None:
+            n_disp = max(1, len(train_ds) // scan_k)
+            epoch_sents = n_disp * scan_k * cfg.bs
+            for _ in range(n_disp):
+                key, sub = jax.random.split(key)
+                batch = jax.numpy.asarray(next(stacker))
+                state, losses = step(state, batch, batch, sub, n_std)
+                step_i += scan_k
+                if (step_i // scan_k) % args.log_every == 0:
+                    logger.log(epoch=epoch, step=step_i,
+                               loss=losses[-1])
+        else:
+            for inp, tar in train_ds:
+                key, sub = jax.random.split(key)
+                if mesh is not None and cfg.tp == 1:
+                    from deepsc_gan_tpu.parallel.sharding import shard_batch
+                    inp = shard_batch(jax.numpy.asarray(inp), mesh)
+                    tar = shard_batch(jax.numpy.asarray(tar), mesh)
+                if mode == "gan":
+                    state, (loss, g_loss, d_loss) = step(state, inp, tar,
+                                                         sub, n_std)
+                    metrics = dict(loss=loss, g_loss=g_loss, d_loss=d_loss)
+                elif mode == "attack":
+                    state, (loss, loss_m) = step(state, inp, tar, sub,
+                                                 args.pnr_db, n_std,
+                                                 args.epsilon)
+                    metrics = dict(loss=loss, loss_adv=loss_m)
+                elif mode == "mine":
+                    state, mine_state, (loss, mi) = step(state, mine_state,
+                                                         inp, tar, sub,
+                                                         n_std)
+                    metrics = dict(loss=loss, mi=mi)
+                else:
+                    state, loss = step(state, inp, tar, sub, n_std)
+                    metrics = dict(loss=loss)
+                step_i += 1
+                if step_i % args.log_every == 0:
+                    # materializing metrics here is the only sync point
+                    logger.log(epoch=epoch, step=step_i, **metrics)
         jax.block_until_ready(state.params)
         dt_epoch = time.time() - t_epoch
         t_epoch = time.time()
         logger.log(epoch=epoch, epoch_time=dt_epoch,
-                   sents_per_sec=len(train_ds) * cfg.bs / dt_epoch)
-        ckpt.save(epoch + 1, state)
+                   sents_per_sec=epoch_sents / dt_epoch)
+        # a sync Orbax save costs seconds — at this model scale an epoch is
+        # sub-second on TPU, so saving every epoch would dominate wall-clock
+        if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == cfg.epochs:
+            ckpt.save(epoch + 1, state)
+            t_epoch = time.time()
     logger.close()
     print(f"[train] done: {step_i} steps")
 
@@ -280,6 +354,15 @@ def main(argv=None) -> None:
             p.add_argument("--adv-weight", type=float, default=1.0,
                            help="attack mode: w*adv + (1-w)*clean loss")
             p.add_argument("--log-every", type=int, default=10)
+            p.add_argument("--scan-steps", type=int, default=16,
+                           help="plain mode: train steps fused per dispatch "
+                                "via lax.scan (1 = single-step dispatch)")
+            p.add_argument("--distributed", action="store_true",
+                           help="multi-host: jax.distributed.initialize "
+                                "before building the mesh")
+            p.add_argument("--ckpt-every", type=int, default=10,
+                           help="checkpoint every N epochs (the final epoch "
+                                "always saves)")
         else:
             p.add_argument("--eval-mode", default="greedy",
                            choices=["greedy", "beam", "greedy_attack",

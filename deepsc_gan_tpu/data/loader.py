@@ -88,6 +88,19 @@ def return_loader(args) -> Tuple[Dataset, Dataset]:
     return train, test
 
 
+def stacked_batches(ds, k: int) -> Iterator[np.ndarray]:
+    """Infinite iterator of (k, B, L) input stacks for the multi-step scan
+    train path (`train.steps.make_train_multi_step`), buffering across
+    epoch boundaries so no batch is dropped when len(ds) % k != 0."""
+    buf: List[np.ndarray] = []
+    while True:
+        for inp, _ in ds:
+            buf.append(inp)
+            if len(buf) == k:
+                yield np.stack(buf)
+                buf = []
+
+
 def synthetic_dataset(
     n: int = 1024,
     seq_len: int = 31,

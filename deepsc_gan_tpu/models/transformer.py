@@ -118,15 +118,24 @@ class TokenEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.d_model,
+                                  dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, tokens, *, deterministic: bool):
         seq_len = tokens.shape[1]
-        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="embedding")(tokens)
+        x = self.embedding(tokens)
         x = x * jnp.sqrt(jnp.asarray(self.d_model, self.dtype))
         pe = positional_encoding(self.max_position, self.d_model, self.dtype)
         x = x + pe[:, :seq_len, :]
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return self.drop(x, deterministic=deterministic)
+
+    def table(self) -> jnp.ndarray:
+        """The raw (V, D) embedding table — exposed so a tied decoder can
+        reuse it as the output projection (`logits = h @ E.T`)."""
+        return self.embedding.embedding
 
 
 class Encoder(nn.Module):
@@ -173,6 +182,7 @@ class Decoder(nn.Module):
     dropout: float = 0.1
     ffn_mode: str = "mlp"
     max_position: int = 512
+    tie_embeddings: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -187,8 +197,18 @@ class Decoder(nn.Module):
             for i in range(self.num_layers)
         ]
         # logits computed in f32: the 22k-way softmax/CE wants full precision
-        self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                                    param_dtype=self.param_dtype)
+        if self.tie_embeddings:
+            # weight tying (an extension beyond the reference recipe): the
+            # output projection reuses the decoder embedding table, so every
+            # vocab row has a trained direction even for tokens the training
+            # set never contains — decisive at the 6.6k-sentence data scale
+            # this environment caps us at (see RESULTS.md). Only a per-token
+            # bias is learned on the output side.
+            self.final_bias = self.param("final_bias", nn.initializers.zeros,
+                                         (self.vocab_size,), self.param_dtype)
+        else:
+            self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                        param_dtype=self.param_dtype)
 
     def __call__(self, tokens, enc_output, look_ahead_mask, padding_mask,
                  *, deterministic: bool = True, apply_final: bool = True):
@@ -201,4 +221,8 @@ class Decoder(nn.Module):
         return x
 
     def final_projection(self, x):
+        if self.tie_embeddings:
+            E = self.embed.table().astype(jnp.float32)
+            return x.astype(jnp.float32) @ E.T + self.final_bias.astype(
+                jnp.float32)
         return self.final_layer(x)

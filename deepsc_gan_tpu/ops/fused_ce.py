@@ -134,10 +134,16 @@ def fused_ce_loss(
     pad_idx: int = 0,
     extra_masked_ids: Optional[Sequence[int]] = None,
     chunk: int = 2048,
+    label_smoothing: float = 0.0,
 ) -> jnp.ndarray:
     """Reference-parity masked CE (see ops.losses.loss_function) computed
     from decoder HIDDEN states + final-projection weights, fused.
-    hidden: (B, L, D); W: (D, V); b: (V,); real: (B, L)."""
+    hidden: (B, L, D); W: (D, V); b: (V,); real: (B, L).
+
+    Label smoothing adds `alpha*(logit_gold - mean_v logit_v)` per row — both
+    terms are O(N*D) (a label gather and a matvec against the vocab-mean
+    column W.mean(axis=1)), so they ride standard autodiff OUTSIDE the
+    online-softmax custom VJP without touching the streamed vocab pass."""
     from deepsc_gan_tpu.ops.pallas.ce import (
         ce_kernel_mode,
         pallas_softmax_xent,
@@ -157,6 +163,14 @@ def fused_ce_loss(
         ce = fused_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels,
                                 chunk)
     ce = ce.reshape(bsz, length)
+    if label_smoothing:
+        h32 = hidden.reshape(-1, dim).astype(jnp.float32)
+        W32 = W.astype(jnp.float32)
+        b32 = b.astype(jnp.float32)
+        gold = (jnp.einsum("nd,dn->n", h32, W32[:, flat_labels])
+                + b32[flat_labels])
+        mean_logits = h32 @ jnp.mean(W32, axis=1) + jnp.mean(b32)
+        ce = ce + label_smoothing * (gold - mean_logits).reshape(bsz, length)
     mask = (real != pad_idx).astype(jnp.float32)
     if extra_masked_ids:
         for tid in extra_masked_ids:

@@ -42,9 +42,21 @@ def loss_function(
     logits: jnp.ndarray,
     pad_idx: int = 0,
     extra_masked_ids: Optional[Sequence[int]] = None,
+    label_smoothing: float = 0.0,
 ) -> jnp.ndarray:
-    """Reference-parity masked CE: zero out masked positions, mean over all."""
+    """Reference-parity masked CE: zero out masked positions, mean over all.
+
+    `label_smoothing` (alpha) mixes the one-hot target with the uniform
+    distribution over the vocab (an extension beyond the reference recipe;
+    alpha=0 reproduces it exactly):
+        loss = logZ - (1-alpha)*logit_gold - alpha*mean_v(logit_v)
+    """
     ce = cross_entropy_per_token(real, logits)
+    if label_smoothing:
+        lg32 = logits.astype(jnp.float32)
+        gold = jnp.take_along_axis(
+            lg32, real[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        ce = ce + label_smoothing * (gold - jnp.mean(lg32, axis=-1))
     mask = (real != pad_idx).astype(jnp.float32)
     if extra_masked_ids:
         for tid in extra_masked_ids:

@@ -46,3 +46,26 @@ def local_mesh(n: Optional[int] = None, axis_name: str = "dp") -> Mesh:
     """1-D data-parallel mesh over the first n local devices."""
     devices = jax.devices()[: n or len(jax.devices())]
     return Mesh(np.array(devices), (axis_name,))
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with explicit args
+    or the standard env autodetection (TPU pods set everything via the
+    metadata server; GKE/SLURM via JAX_COORDINATOR_ADDRESS etc.). After
+    this, `jax.devices()` is the GLOBAL device set and the meshes built by
+    `make_mesh` span hosts — dp innermost keeps the gradient all-reduce on
+    ICI; only input dispatch crosses DCN. Idempotent: a second call is a
+    no-op."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (RuntimeError, ValueError) as e:
+        # single-process run (no coordinator configured): fine, stay local
+        if "already" not in str(e).lower() and coordinator_address:
+            raise

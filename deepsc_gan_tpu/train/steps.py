@@ -77,14 +77,22 @@ def _shift_targets(tar):
 
 def _loss_kwargs(cfg: Config):
     extra = (4, 5) if cfg.mask_extra_tokens else None
-    return dict(pad_idx=cfg.pad_idx, extra_masked_ids=extra)
+    return dict(pad_idx=cfg.pad_idx, extra_masked_ids=extra,
+                label_smoothing=cfg.label_smoothing)
 
 
 def _final_wb(params):
     """Final vocab-projection weights from the param tree (same top-level
-    layout for every transceiver variant)."""
-    fl = params["semantic_decoder"]["final_layer"]
-    return fl["kernel"], fl["bias"]
+    layout for every transceiver variant). With tied embeddings the
+    projection is the transposed decoder embedding table plus a learned
+    bias (models/transformer.py Decoder.setup); grads flow back into the
+    table through the transpose."""
+    dec = params["semantic_decoder"]
+    if "final_layer" in dec:
+        fl = dec["final_layer"]
+        return fl["kernel"], fl["bias"]
+    E = dec["embed"]["embedding"]["embedding"]  # (V, D)
+    return E.T, dec["final_bias"]
 
 
 def make_forward_loss(model, cfg: Config, kind: str, lkw: dict):

@@ -79,6 +79,14 @@ class Config:
     end_idx: int = 2
     unk_idx: int = 3
 
+    # --- quality levers (round-2 extensions beyond the reference recipe;
+    #     all default OFF so the defaults reproduce the reference exactly)
+    tie_embeddings: bool = False   # share decoder embedding w/ vocab proj
+    label_smoothing: float = 0.0   # uniform label smoothing alpha
+    aug_crop: float = 0.0          # P(random contiguous word-span crop)
+    aug_concat: float = 0.0        # P(concat two sentences, truncate)
+    aug_synth: float = 0.0         # P(synthetic full-vocab sentence)
+
     # --- schedule (reference: modules.py:719-735; the committed notebooks
     #     used plain Adam(lr) per parameters.py:22 — "noam" optional)
     schedule: str = "constant"  # "constant" | "noam"
