@@ -276,9 +276,10 @@ def cmd_evaluate(args) -> None:
         sweep_fn = make_greedy_decode_sweep(model, cfg, position_mode=pm)
         table = snr_sweep_bleu_fast(sweep_fn, state.params, batches, vocab,
                                     cfg, snrs=snrs, pnr_db=args.pnr_db,
-                                    key=key)
-        for snr, bleu in table:
-            print(f"SNR={snr:.0f}dB BLEU-1={bleu:.4f}")
+                                    key=key, metric=args.metric)
+        for snr, *ms in table:
+            print(f"SNR={snr:.0f}dB " +
+                  " ".join(f"{m:.4f}" for m in ms))
         save_result_table(table, os.path.join(
             cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
         return
@@ -304,28 +305,27 @@ def cmd_evaluate(args) -> None:
             step = make_eval_step_pgd(model, cfg, full_target=star)
         else:
             step = make_eval_step(model, cfg, full_target=star)
-        table = []
-        for snr in snrs:
-            n_std = float(snr_to_noise(snr))
-            cls, als = [], []
-            for inp in batches:
-                key, sub = jax.random.split(key)
-                out = step(state, inp, inp, sub, args.pnr_db,
-                           n_std, args.epsilon)
-                cls.append(float(out[0]))
-                als.append(float(out[1]))
-            table.append([snr, float(np.mean(cls)), float(np.mean(als))])
-            print(f"SNR={snr}dB clean={table[-1][1]:.4f} "
-                  f"attacked={table[-1][2]:.4f}")
+        # reference eval.pkl protocol: the predictions are SCORED, not just
+        # the losses (utlis/eval.py:189-232). Rows:
+        # [snr, clean_metric..., attacked_metric..., loss_clean, loss_att]
+        from deepsc_gan_tpu.evaluate.evaluator import teacher_forced_sweep
+        table = teacher_forced_sweep(
+            step, state, batches, vocab, cfg, snrs=snrs,
+            pnr_db=args.pnr_db, epsilon=args.epsilon, key=key,
+            metric=args.metric)
+        for row in table:
+            print(f"SNR={row[0]:.0f}dB metrics(clean|attacked)="
+                  + " ".join(f"{m:.4f}" for m in row[1:-2])
+                  + f" loss={row[-2]:.4f}/{row[-1]:.4f}")
         save_result_table(table, os.path.join(cfg.log_save_path,
                                               f"eval-{variant}.pkl"))
         return
 
     table = snr_sweep_bleu(decode, state.params, batches, vocab, cfg,
                            snrs=snrs, pnr_db=args.pnr_db, key=key,
-                           decode_extra_args=extra)
-    for snr, bleu in table:
-        print(f"SNR={snr:.0f}dB BLEU-1={bleu:.4f}")
+                           decode_extra_args=extra, metric=args.metric)
+    for snr, *ms in table:
+        print(f"SNR={snr:.0f}dB " + " ".join(f"{m:.4f}" for m in ms))
     save_result_table(table, os.path.join(
         cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
 
@@ -368,6 +368,11 @@ def main(argv=None) -> None:
                            choices=["greedy", "beam", "greedy_attack",
                                     "greedy_gan", "teacher_forced", "pgd"])
             p.add_argument("--beam-size", type=int, default=4)
+            p.add_argument("--metric", default="bleu",
+                           choices=["bleu", "similarity", "both"],
+                           help="text metric column(s) in the result table "
+                                "(similarity: BERT when local weights "
+                                "exist, else unigram-cosine fallback)")
             p.add_argument("--eval-batches", type=int, default=8)
             p.add_argument("--snr-lo", type=int, default=0)
             p.add_argument("--snr-hi", type=int, default=18)

@@ -21,6 +21,33 @@ from deepsc_gan_tpu.evaluate.metrics import BleuScore, SNR_to_noise
 from deepsc_gan_tpu.utils.config import Config
 
 
+def make_scorers(metric: str = "bleu",
+                 bleu_weights=(1.0, 0.0, 0.0, 0.0),
+                 bert_path: str = "bert-base-uncased") -> list:
+    """Scorer list for `metric` in {bleu, similarity, both} (reference
+    scores BLEU and BERT sentence similarity side by side,
+    utlis/tools.py:30-103). BERT similarity needs local weights; in fully
+    offline environments it falls back to the bag-of-words
+    `UnigramSimilarity` proxy (a warning is printed)."""
+    import sys
+
+    from deepsc_gan_tpu.evaluate.metrics import Similarity, UnigramSimilarity
+
+    scorers = []
+    if metric in ("bleu", "both"):
+        scorers.append(("bleu", BleuScore(*bleu_weights)))
+    if metric in ("similarity", "both"):
+        try:
+            scorers.append(("similarity", Similarity(bert_path)))
+        except Exception as e:  # no local BERT weights / no egress
+            print(f"[metrics] BERT similarity unavailable ({e}); using "
+                  "unigram-cosine fallback", file=sys.stderr)
+            scorers.append(("similarity", UnigramSimilarity()))
+    if not scorers:
+        raise ValueError(f"unknown metric {metric!r}")
+    return scorers
+
+
 def snr_sweep_bleu(
     decode_fn: Callable,
     params,
@@ -32,18 +59,20 @@ def snr_sweep_bleu(
     key=None,
     bleu_weights=(1.0, 0.0, 0.0, 0.0),
     decode_extra_args: tuple = (),
+    metric: str = "bleu",
 ) -> List[List[float]]:
-    """-> [[snr, mean_bleu], ...] rows, reference table format.
+    """-> [[snr, mean_metric...], ...] rows, reference table format (one
+    column per scorer from `make_scorers(metric)`).
 
     `decode_fn(params, inp, key, pnr_db, n_std, *extra)` is any decoder
     from evaluate.greedy. Batches are (B, seq_len) int32 arrays."""
     key = key if key is not None else jax.random.PRNGKey(0)
     s2t = SeqToText(vocab, cfg.end_idx)
-    bleu = BleuScore(*bleu_weights)
+    scorers = make_scorers(metric, bleu_weights)
     table = []
     for snr in snrs:
         n_std = SNR_to_noise(snr)
-        scores: List[float] = []
+        scores = [[] for _ in scorers]
         for bi, inp in enumerate(batches):
             key, sub = jax.random.split(key)
             out = decode_fn(params, inp, sub, pnr_db, n_std,
@@ -52,8 +81,9 @@ def snr_sweep_bleu(
             # skip the leading <START> like the reference notebooks did
             hyp = [s2t.sequence_to_text(row[1:]) for row in ids]
             ref = [s2t.sequence_to_text(row[1:]) for row in np.asarray(inp)]
-            scores.extend(bleu.compute_score(ref, hyp))
-        table.append([float(snr), float(np.mean(scores))])
+            for si, (_, sc) in enumerate(scorers):
+                scores[si].extend(sc.compute_score(ref, hyp))
+        table.append([float(snr)] + [float(np.mean(s)) for s in scores])
     return table
 
 
@@ -67,6 +97,7 @@ def snr_sweep_bleu_fast(
     pnr_db: float = 0.0,
     key=None,
     bleu_weights=(1.0, 0.0, 0.0, 0.0),
+    metric: str = "bleu",
 ) -> List[List[float]]:
     """Like snr_sweep_bleu but decodes ALL SNR points per batch in one
     device call via evaluate.greedy.make_greedy_decode_sweep — one dispatch
@@ -76,17 +107,76 @@ def snr_sweep_bleu_fast(
 
     key = key if key is not None else jax.random.PRNGKey(0)
     s2t = SeqToText(vocab, cfg.end_idx)
-    bleu = BleuScore(*bleu_weights)
+    scorers = make_scorers(metric, bleu_weights)
     n_stds = jnp.asarray([SNR_to_noise(s) for s in snrs], jnp.float32)
-    scores = [[] for _ in snrs]
+    scores = [[[] for _ in scorers] for _ in snrs]
     for inp in batches:
         key, sub = jax.random.split(key)
         ids = np.asarray(sweep_fn(params, inp, sub, pnr_db, n_stds))
         ref = [s2t.sequence_to_text(row[1:]) for row in np.asarray(inp)]
         for si in range(len(snrs)):
             hyp = [s2t.sequence_to_text(row[1:]) for row in ids[si]]
-            scores[si].extend(bleu.compute_score(ref, hyp))
-    return [[float(s), float(np.mean(sc))] for s, sc in zip(snrs, scores)]
+            for mi, (_, sc) in enumerate(scorers):
+                scores[si][mi].extend(sc.compute_score(ref, hyp))
+    return [[float(s)] + [float(np.mean(m)) for m in sc]
+            for s, sc in zip(snrs, scores)]
+
+
+def teacher_forced_sweep(
+    step_fn: Callable,
+    state,
+    batches: Sequence[np.ndarray],
+    vocab: Vocab,
+    cfg: Config,
+    snrs: Sequence[float] = tuple(range(0, 19)),
+    pnr_db: float = 0.0,
+    epsilon: float = 1.0,
+    key=None,
+    metric: str = "bleu",
+    bleu_weights=(1.0, 0.0, 0.0, 0.0),
+) -> List[List[float]]:
+    """Teacher-forced eval table in the reference's `eval.pkl` layout
+    (`DeepSC-GAN/utlis/eval.py:189-232` + `log/eval-D-GAN-STAR/eval.pkl`):
+    the clean and attacked PREDICTIONS are argmaxed, converted to text and
+    scored — not just the losses. Rows:
+
+        [snr, clean_metric..., attacked_metric..., loss_clean, loss_attacked]
+
+    `step_fn` is any of make_eval_step / make_eval_step_pgd /
+    make_gan_eval_step — all return
+    (clean_loss, attacked_loss, clean_logits, attacked_logits, ...)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    s2t = SeqToText(vocab, cfg.end_idx)
+    scorers = make_scorers(metric, bleu_weights)
+    table = []
+    for snr in snrs:
+        n_std = SNR_to_noise(snr)
+        cls, als = [], []
+        cscores = [[] for _ in scorers]
+        ascores = [[] for _ in scorers]
+        for inp in batches:
+            key, sub = jax.random.split(key)
+            out = step_fn(state, inp, inp, sub, pnr_db, n_std, epsilon)
+            cls.append(float(out[0]))
+            als.append(float(out[1]))
+            # teacher-forced logits predict the shifted target: position i
+            # scores token inp[:, i+1] — so reference texts drop <START>
+            ref = [s2t.sequence_to_text(row[1:]) for row in np.asarray(inp)]
+            for logits, dest in ((out[2], cscores), (out[3], ascores)):
+                ids = np.argmax(np.asarray(logits), axis=-1)
+                if ids.shape[1] == inp.shape[1]:
+                    # star decoders score the UN-shifted target (position i
+                    # predicts token i) — drop the predicted <START> slot
+                    ids = ids[:, 1:]
+                hyp = [s2t.sequence_to_text(row) for row in ids]
+                for mi, (_, sc) in enumerate(scorers):
+                    dest[mi].extend(sc.compute_score(ref, hyp))
+        table.append(
+            [float(snr)]
+            + [float(np.mean(s)) for s in cscores]
+            + [float(np.mean(s)) for s in ascores]
+            + [float(np.mean(cls)), float(np.mean(als))])
+    return table
 
 
 def save_result_table(table: List[List[float]], path: str) -> None:

@@ -298,7 +298,9 @@ def make_eval_step_pgd(model, cfg: Config,
     sqrt(size) (eval.py:277-280), i.e. through the same `p` convention as
     awgn(). Returns jitted
     `step(state, inp, tar, key, pnr_db, n_std, epsilon)
-    -> (clean_loss, attacked_loss, eps_star)`."""
+    -> (clean_loss, attacked_loss, clean_logits, attacked_logits,
+    eps_star)` — logits in the same positions as make_eval_step so BLEU
+    tables score all eval modes uniformly."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
     from deepsc_gan_tpu.train.attacks import fgm_normalize, pgd_bisection
@@ -319,26 +321,30 @@ def make_eval_step_pgd(model, cfg: Config,
         y0 = model.apply({"params": params}, k1, tx_sym, p0, pnr_db, n_std,
                          kind, method="transmit")
 
+        def decode_logits(y):
+            return model.apply({"params": params}, tar_inp, y,
+                               combined_mask, dec_mask, deterministic=True,
+                               method="decode")
+
         def loss_wrt_y(y):
-            logits = model.apply({"params": params}, tar_inp, y,
-                                 combined_mask, dec_mask, deterministic=True,
-                                 method="decode")
-            return loss_function(tar_real, logits, **lkw)
+            return loss_function(tar_real, decode_logits(y), **lkw)
 
         clean_loss, g = jax.value_and_grad(loss_wrt_y)(y0)
         direction = fgm_normalize(g, epsilon)
+        clean_logits = decode_logits(y0)
 
-        def attacked_loss(pert):
+        def attacked_forward(pert):
             y = model.apply({"params": params}, k2, tx_sym, pert, pnr_db,
                             n_std, kind, method="transmit")
-            logits = model.apply({"params": params}, tar_inp, y,
-                                 combined_mask, dec_mask,
-                                 deterministic=True, method="decode")
-            return loss_function(tar_real, logits, **lkw)
+            return decode_logits(y)
+
+        def attacked_loss(pert):
+            return loss_function(tar_real, attacked_forward(pert), **lkw)
 
         eps_star, loss_m = pgd_bisection(attacked_loss, direction,
                                          clean_loss, iters=iters)
-        return clean_loss, loss_m, eps_star
+        attacked_logits = attacked_forward(eps_star * direction)
+        return clean_loss, loss_m, clean_logits, attacked_logits, eps_star
 
     return step
 

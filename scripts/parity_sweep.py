@@ -33,7 +33,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepsc_gan_tpu.data.augment import make_train_dataset
-from deepsc_gan_tpu.data.loader import load_token_lists, pad_sequences
+from deepsc_gan_tpu.data.loader import (
+    load_token_lists,
+    pad_sequences,
+    stacked_batches,
+)
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
 from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
@@ -75,17 +79,6 @@ def split_data(path: str, seed: int = 0):
     train = [raw[i] for i in idx[:n_train]]
     held = [raw[i] for i in idx[n_train:]]
     return train, held
-
-
-def stacked_batches(ds, k: int):
-    """Yield (k, B, L) stacks, buffering across epoch boundaries."""
-    buf = []
-    while True:
-        for inp, _ in ds:
-            buf.append(inp)
-            if len(buf) == k:
-                yield np.stack(buf)
-                buf = []
 
 
 def run_config(name: str, cfg: Config, train_raw, held_batches, vocab,

@@ -100,7 +100,9 @@ def test_pgd_eval_step(tiny_cfg, tiny_batch):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                batch_size=cfg.bs)
     pstep = make_eval_step_pgd(model, cfg, iters=5)
-    clean, attacked, eps = pstep(state, tiny_batch, tiny_batch,
-                                 jax.random.PRNGKey(1), 10.0, 0.1, 1.0)
+    clean, attacked, clean_lg, att_lg, eps = pstep(
+        state, tiny_batch, tiny_batch, jax.random.PRNGKey(1), 10.0, 0.1, 1.0)
     assert np.isfinite(float(clean)) and np.isfinite(float(attacked))
     assert 0.0 <= float(eps) <= 1.0
+    assert clean_lg.shape == att_lg.shape == (
+        cfg.bs, cfg.seq_len - 1, cfg.vocab_size)

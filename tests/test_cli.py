@@ -71,8 +71,39 @@ def test_cli_teacher_forced_and_pgd_eval(tmp_path):
         assert os.path.exists(out)
         with open(out, "rb") as f:
             table = pickle.load(f)
-        assert table[0][0] == 6 and len(table[0]) == 3
+        # [snr, bleu_clean, bleu_attacked, loss_clean, loss_attacked]
+        assert table[0][0] == 6 and len(table[0]) == 5
+        assert 0.0 <= table[0][1] <= 1.0 and 0.0 <= table[0][2] <= 1.0
+        assert table[0][3] > 0.0
         os.remove(out)
+
+
+def test_cli_metric_both_columns(tmp_path):
+    """--metric both adds a similarity column next to BLEU (falls back to
+    the unigram proxy offline)."""
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", log,
+    ]
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "greedy", "--metric", "both", "--eval-batches", "1",
+              "--snr-lo", "6", "--snr-hi", "6"] + common)
+    with open(os.path.join(log, "test-transformer-greedy.pkl"), "rb") as f:
+        table = pickle.load(f)
+    assert len(table[0]) == 3  # [snr, bleu, similarity]
+    assert all(0.0 <= v <= 1.0 for v in table[0][1:])
+
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "teacher_forced", "--metric", "both", "--eval-batches", "1",
+              "--snr-lo", "6", "--snr-hi", "6"] + common)
+    with open(os.path.join(log, "eval-transformer.pkl"), "rb") as f:
+        table = pickle.load(f)
+    # [snr, bleu_c, sim_c, bleu_a, sim_a, loss_c, loss_a]
+    assert len(table[0]) == 7
 
 
 def test_cli_beam_eval(tmp_path):
