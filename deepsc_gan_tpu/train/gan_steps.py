@@ -68,31 +68,43 @@ def selective_update(state: TrainState, grads, mask) -> TrainState:
 
 
 def _merge_opt_state(new_state, old_state, mask):
-    """Walk the optax state pytree; wherever a sub-tree structurally matches
-    the param tree (e.g. adam mu/nu), merge leaf-wise by mask; scalar
-    leaves (count) keep the new value."""
-    mask_structure = jax.tree.structure(mask)
+    """Merge optimizer states by the phase mask: for parameters OUTSIDE
+    the phase, the Adam moments keep their OLD values (TF's
+    apply_gradients over a filtered variable list never touches the
+    excluded slots); scalar bookkeeping (count, schedule step) keeps the
+    new value.
+
+    Matching is EXPLICIT by optax state type — `ScaleByAdamState.mu/nu`
+    are the only param-shaped trees merged — rather than structural
+    guessing, so a coincidental structure match can never mis-merge. Any
+    unrecognized state that carries param-shaped leaves raises: extend
+    the match here before using such an optimizer for GAN phase
+    training."""
 
     def merge(new_sub, old_sub):
         return jax.tree.map(
             lambda n, o, m: jnp.where(m, n, o), new_sub, old_sub, mask)
 
     def walk(new_sub, old_sub):
-        try:
-            if jax.tree.structure(new_sub) == mask_structure:
-                return merge(new_sub, old_sub)
-        except Exception:
-            pass
-        if isinstance(new_sub, tuple):
+        if isinstance(new_sub, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=new_sub.count,
+                mu=merge(new_sub.mu, old_sub.mu),
+                nu=merge(new_sub.nu, old_sub.nu))
+        if isinstance(new_sub, (tuple, list)) and not hasattr(new_sub,
+                                                              "_fields"):
             items = [walk(n, o) for n, o in zip(new_sub, old_sub)]
-            if hasattr(new_sub, "_fields"):  # NamedTuple (optax states)
-                return type(new_sub)(*items)
-            return tuple(items)
-        if isinstance(new_sub, list):
-            return [walk(n, o) for n, o in zip(new_sub, old_sub)]
-        if isinstance(new_sub, dict):
-            return {k: walk(new_sub[k], old_sub[k]) for k in new_sub}
-        return new_sub
+            return type(new_sub)(items) if isinstance(new_sub, list) \
+                else tuple(items)
+        # other optax states: fine as long as they hold no per-parameter
+        # arrays (EmptyState, ScaleByScheduleState count, ...)
+        leaves = jax.tree.leaves(new_sub)
+        if all(getattr(l, "ndim", 0) == 0 for l in leaves):
+            return new_sub
+        raise ValueError(
+            f"GAN phase updates support adam-family optimizers; found "
+            f"unhandled optax state with per-parameter slots: "
+            f"{type(new_sub).__name__}")
 
     return walk(new_state, old_state)
 

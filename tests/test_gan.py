@@ -102,3 +102,38 @@ def test_gan_eval_step(tiny_cfg, tiny_batch, gan_setup):
                                           1.0)
     assert np.isfinite(float(cl)) and np.isfinite(float(al))
     assert clean_logits.shape == att_logits.shape
+
+
+def test_merge_opt_state_rejects_unknown_param_slots():
+    """An optimizer with per-param slots we don't explicitly handle must
+    raise, not silently mis-merge (round-1 weak #6)."""
+    import optax
+    import pytest as _pytest
+    from deepsc_gan_tpu.train.gan_steps import _merge_opt_state
+
+    params = {"a": jnp.ones((3,))}
+    tx = optax.sgd(1e-2, momentum=0.9)  # ScaleByMomentumState-like trace
+    s0 = tx.init(params)
+    _, s1 = tx.update({"a": jnp.ones((3,))}, s0, params)
+    mask = {"a": jnp.asarray(True)}
+    with _pytest.raises(ValueError, match="unhandled optax state"):
+        _merge_opt_state(s1, s0, mask)
+
+
+def test_merge_opt_state_handles_schedule_chain():
+    """Adam behind a schedule chain (extra scalar states) merges fine."""
+    import optax
+    from deepsc_gan_tpu.train.gan_steps import _merge_opt_state
+
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((2,))}
+    tx = optax.chain(optax.scale_by_adam(),
+                     optax.scale_by_schedule(lambda i: 1e-3))
+    s0 = tx.init(params)
+    g = {"a": jnp.ones((3,)), "b": jnp.ones((2,))}
+    _, s1 = tx.update(g, s0, params)
+    mask = {"a": jnp.asarray(True), "b": jnp.asarray(False)}
+    merged = _merge_opt_state(s1, s0, mask)
+    adam = merged[0]
+    np.testing.assert_array_equal(adam.mu["a"], s1[0].mu["a"])  # updated
+    np.testing.assert_array_equal(adam.mu["b"], s0[0].mu["b"])  # frozen
+    assert int(adam.count) == int(s1[0].count)
