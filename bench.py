@@ -1,7 +1,7 @@
 """Benchmark: training throughput of the flagship model at reference scale.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Metric: teacher-forced training throughput in sentences/sec/chip for the
 vanilla DeepSC transceiver at the reference's published scale
@@ -9,12 +9,19 @@ vanilla DeepSC transceiver at the reference's published scale
 DeepSC-GAN/utlis/parameters.py:20-54), AWGN channel, Adam — i.e. the
 reference's `train_step_noattack` workload.
 
-vs_baseline: ratio against REFERENCE_SENTS_PER_SEC, an estimate of the
+vs_baseline: ratio against REFERENCE_SENTS_PER_SEC — an ESTIMATE of the
 TF2 reference's single-GPU throughput (its hardware is unstated —
-SURVEY.md §6). Estimate: the reference runs unfused TF2 eager-traced
-Keras at batch 64; a ~7M-param model of this shape steps in ~25ms on a
-V100-class card => ~2,500 sentences/sec. BASELINE.md's target is >=5x
-this per chip.
+SURVEY.md §6; the JSON carries vs_baseline_is_estimate=true). Estimate:
+unfused TF2 eager-traced Keras at batch 64, ~7M params => ~25ms/step on a
+V100-class card => ~2,500 sentences/sec. BASELINE.md target: >=5x/chip.
+
+Also reported (anchors the ratio to hardware truth):
+  flops_per_step — XLA cost analysis of the compiled program, per train
+                   step (fwd+bwd+Adam);
+  mfu            — achieved FLOP/s over the v5e peak (197 TFLOP/s bf16).
+                   At B=64 the model is dispatch/HBM-bound, so MFU is
+                   small by design — the batch_scaling rows (use
+                   --scaling) show where compute-bound begins.
 """
 
 from __future__ import annotations
@@ -33,6 +40,65 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_SENTS_PER_SEC = 2500.0
+V5E_PEAK_FLOPS = 197e12  # bf16 per chip
+
+
+def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
+                warmup: int, dtype: str):
+    """-> (sents_per_sec, flops_per_step or None) at one batch size."""
+    from deepsc_gan_tpu.data.loader import synthetic_dataset
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import (
+        create_train_state,
+        make_train_multi_step,
+    )
+    from deepsc_gan_tpu.utils.config import Config
+
+    cfg = Config(bs=batch_size, dtype=dtype)
+    model = make_model(cfg, "transformer")
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, cfg, key)
+    # the framework's fast path: K train steps per dispatch via lax.scan
+    # (bit-identical sequential Adam semantics; amortizes host->device
+    # dispatch, which dominates at small batch)
+    mstep = make_train_multi_step(model, cfg, donate=False)
+
+    ds = synthetic_dataset(n=batch_size * scan_k, seq_len=cfg.seq_len,
+                           vocab_size=cfg.vocab_size,
+                           batch_size=batch_size, seed=0)
+    batch = jnp.asarray(np.stack([b for b, _ in ds], axis=0))  # (K, B, L)
+
+    # FLOPs of the compiled program from XLA cost analysis (per step =
+    # per dispatch / K). Not all backends expose it — None if absent.
+    flops = None
+    try:
+        compiled = mstep.lower(state, batch, batch, key,
+                               jnp.asarray(0.1)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and "flops" in ca:
+            flops = float(ca["flops"]) / scan_k
+    except Exception:
+        pass
+
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        state, losses = mstep(state, batch, batch, sub, 0.1)
+    float(losses.sum())  # true sync (device->host readback)
+
+    # best-of-N repetitions: the TPU may sit behind a shared tunnel whose
+    # load varies; the least-contended rep is closest to hardware truth
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, losses = mstep(state, batch, batch, sub, 0.1)
+        float(losses.sum())
+        best = min(best, time.perf_counter() - t0)
+
+    return steps * scan_k * batch_size / best, flops
 
 
 def main() -> None:
@@ -45,58 +111,43 @@ def main() -> None:
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--scaling", action="store_true",
+                        help="also measure B=256/1024 rows (extra compiles)")
     args = parser.parse_args()
 
-    from deepsc_gan_tpu.data.loader import synthetic_dataset
-    from deepsc_gan_tpu.models.transceiver import make_model
-    from deepsc_gan_tpu.train.steps import (
-        create_train_state,
-        make_train_multi_step,
-    )
-    from deepsc_gan_tpu.utils.config import Config
-
-    cfg = Config(bs=args.batch, dtype=args.dtype)
-    model = make_model(cfg, "transformer")
-    key = jax.random.PRNGKey(0)
-    state = create_train_state(model, cfg, key)
-    # the framework's fast path: K train steps per dispatch via lax.scan
-    # (bit-identical sequential Adam semantics; amortizes host->device
-    # dispatch, which dominates at this model scale)
-    K = args.scan_steps
-    mstep = make_train_multi_step(model, cfg)
-
-    ds = synthetic_dataset(n=args.batch * K, seq_len=cfg.seq_len,
-                           vocab_size=cfg.vocab_size,
-                           batch_size=args.batch, seed=0)
-    batch = jnp.asarray(
-        np.stack([b for b, _ in ds], axis=0))  # (K, B, L)
-
-    for _ in range(args.warmup):
-        key, sub = jax.random.split(key)
-        state, losses = mstep(state, batch, batch, sub, 0.1)
-    float(losses.sum())  # true sync (device->host readback)
-
-    # best-of-N repetitions: the TPU may sit behind a shared tunnel whose
-    # load varies; the least-contended rep is closest to hardware truth
-    best = float("inf")
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            key, sub = jax.random.split(key)
-            state, losses = mstep(state, batch, batch, sub, 0.1)
-        float(losses.sum())
-        best = min(best, time.perf_counter() - t0)
-
-    sents_per_sec = args.steps * K * args.batch / best
+    sents_per_sec, flops = bench_batch(args.batch, args.scan_steps,
+                                       args.steps, args.reps, args.warmup,
+                                       args.dtype)
     n_chips = max(jax.device_count(), 1)
     per_chip = sents_per_sec / n_chips
 
-    print(json.dumps({
+    out = {
         "metric": "train_throughput_flagship",
         "value": round(per_chip, 1),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(per_chip / REFERENCE_SENTS_PER_SEC, 3),
-    }))
+        "vs_baseline_is_estimate": True,
+        "baseline_note": f"den={REFERENCE_SENTS_PER_SEC:.0f}/s estimated "
+                         "V100 TF2 (reference hardware unstated)",
+    }
+    if flops:
+        achieved = flops * per_chip / args.batch  # FLOP/step * steps/sec
+        out["flops_per_step"] = round(flops)
+        out["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_PEAK_FLOPS, 4)
+
+    if args.scaling:
+        rows = {}
+        for b in (256, 1024):
+            sps, fl = bench_batch(b, max(4, args.scan_steps // (b // 64)),
+                                  2, 2, 1, args.dtype)
+            row = {"sents_per_sec": round(sps / n_chips, 1)}
+            if fl:
+                row["mfu"] = round(fl * (sps / n_chips) / b
+                                   / V5E_PEAK_FLOPS, 4)
+            rows[str(b)] = row
+        out["batch_scaling"] = rows
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

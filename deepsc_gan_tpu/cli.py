@@ -187,6 +187,12 @@ def cmd_train(args) -> None:
     # only at log points; XLA queues the steps back-to-back.
     stacker = (stacked_batches(train_ds, scan_k)
                if (mode == "plain" and mesh is None and scan_k > 1) else None)
+    profiler_ctx = None
+    if args.profile:
+        from deepsc_gan_tpu.utils.profiling import trace
+        profiler_ctx = trace(args.profile)
+        profiler_ctx.__enter__()
+        print(f"[train] profiling epoch 0 -> {args.profile}")
     step_i = 0
     t_epoch = time.time()
     for epoch in range(cfg.epochs):
@@ -231,6 +237,9 @@ def cmd_train(args) -> None:
                     # materializing metrics here is the only sync point
                     logger.log(epoch=epoch, step=step_i, **metrics)
         jax.block_until_ready(state.params)
+        if profiler_ctx is not None:  # trace exactly the first epoch
+            profiler_ctx.__exit__(None, None, None)
+            profiler_ctx = None
         dt_epoch = time.time() - t_epoch
         t_epoch = time.time()
         logger.log(epoch=epoch, epoch_time=dt_epoch,
@@ -363,6 +372,9 @@ def main(argv=None) -> None:
             p.add_argument("--ckpt-every", type=int, default=10,
                            help="checkpoint every N epochs (the final epoch "
                                 "always saves)")
+            p.add_argument("--profile", default=None, metavar="DIR",
+                           help="capture a jax.profiler device trace of the "
+                                "first epoch into DIR (TensorBoard-viewable)")
         else:
             p.add_argument("--eval-mode", default="greedy",
                            choices=["greedy", "beam", "greedy_attack",

@@ -32,10 +32,20 @@ def make_optimizer(
     schedule: str = "constant",
     d_model: int = 128,
     warmup_steps: int = 4000,
+    decay_steps: int = 40000,
 ) -> optax.GradientTransformation:
     if schedule == "noam":
         lr_fn = noam_schedule(d_model, warmup_steps)
         # reference pairs CustomSchedule with Adam(beta1=0.9, beta2=0.98,
         # eps=1e-9) per the standard Transformer recipe
         return optax.adam(lr_fn, b1=0.9, b2=0.98, eps=1e-9)
+    if schedule == "cosine":
+        # extension beyond the reference recipe (constant Adam forever
+        # limits convergence on long data-limited runs): linear warmup to
+        # lr then cosine decay to lr/20 over decay_steps
+        lr_fn = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 10, peak_value=lr,
+            warmup_steps=min(warmup_steps, decay_steps // 10),
+            decay_steps=decay_steps, end_value=lr / 20)
+        return optax.adam(lr_fn)
     return optax.adam(lr)

@@ -65,7 +65,7 @@ def create_train_state(model, cfg: Config, key,
 
     variables = _init(k_init, k_ch, inp, tar_inp, p)
     tx = tx or make_optimizer(cfg.lr, cfg.schedule, cfg.encoder_d_model,
-                              cfg.warmup_steps)
+                              cfg.warmup_steps, cfg.decay_steps)
     params = variables["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx)

@@ -89,8 +89,9 @@ class Config:
 
     # --- schedule (reference: modules.py:719-735; the committed notebooks
     #     used plain Adam(lr) per parameters.py:22 — "noam" optional)
-    schedule: str = "constant"  # "constant" | "noam"
+    schedule: str = "constant"  # "constant" | "noam" | "cosine"
     warmup_steps: int = 4000
+    decay_steps: int = 40000    # cosine schedule horizon (extension)
 
     # --- GAN (reference: gan_train.py:8-50)
     gan_lambda: float = 0.5   # lenmda in gan_train_step
