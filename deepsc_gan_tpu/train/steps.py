@@ -75,6 +75,17 @@ def _shift_targets(tar):
     return tar[:, :-1], tar[:, 1:]
 
 
+def _step_noise(cfg: Config, key, n_std):
+    """Per-step channel noise std: the given n_std, or (when
+    cfg.train_snr_random) a fresh draw SNR ~ U(lo, hi) dB mapped through
+    n_std = 10^(-SNR/20) (models.channel.snr_to_noise)."""
+    if not cfg.train_snr_random:
+        return n_std
+    snr = jax.random.uniform(key, (), jnp.float32,
+                             cfg.train_snr_lo, cfg.train_snr_hi)
+    return 10.0 ** (-snr / 20.0)
+
+
 def _loss_kwargs(cfg: Config):
     extra = (4, 5) if cfg.mask_extra_tokens else None
     return dict(pad_idx=cfg.pad_idx, extra_masked_ids=extra,
@@ -149,13 +160,14 @@ def make_train_step(model, cfg: Config,
             tar_real = tar
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
-        k_ch, k_do = jax.random.split(key)
+        k_ch, k_do, k_snr = jax.random.split(key, 3)
+        n_std_t = _step_noise(cfg, k_snr, n_std)
         p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
                       jnp.float32)
 
         def loss_fn(params):
             return forward_loss(params, inp, tar_inp, tar_real, k_ch, k_do,
-                                p, 0.0, n_std, enc_mask, combined_mask,
+                                p, 0.0, n_std_t, enc_mask, combined_mask,
                                 dec_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -193,13 +205,14 @@ def make_train_multi_step(model, cfg: Config,
                 tar_real = tar
             enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                              cfg.pad_idx)
-            k_ch, k_do = jax.random.split(k)
+            k_ch, k_do, k_snr = jax.random.split(k, 3)
+            n_std_t = _step_noise(cfg, k_snr, n_std)
             p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
                           jnp.float32)
 
             def loss_fn(params):
                 return forward_loss(params, inp, tar_inp, tar_real, k_ch,
-                                    k_do, p, 0.0, n_std, enc_mask,
+                                    k_do, p, 0.0, n_std_t, enc_mask,
                                     combined_mask, dec_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -61,6 +61,12 @@ class Config:
     # --- SNR (reference: parameters.py:58-59)
     train_snr: int = 3
     test_snr: int = 6
+    # extension: sample the training SNR per step from U(lo, hi) dB
+    # instead of the fixed train_snr — the reference's 3dB-only training
+    # never shows the codec a clean channel, capping high-SNR BLEU
+    train_snr_random: bool = False
+    train_snr_lo: float = 0.0
+    train_snr_hi: float = 18.0
 
     # --- quirk switches (SURVEY.md §7 Q1-Q3; defaults = reference behavior)
     # Q1: the reference FFN sublayer is accidentally an identity layer

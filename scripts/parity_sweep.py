@@ -68,6 +68,16 @@ GRID = {
                          aug_synth=0.2, encoder_dropout=0.3,
                          decoder_dropout=0.3),
     "untied_synth": dict(aug_crop=0.2, aug_concat=0.2, aug_synth=0.2),
+    # phase 2: combinations for the long final runs
+    "final_fixed": dict(tie_embeddings=True, label_smoothing=0.1,
+                        aug_crop=0.2, aug_concat=0.2, aug_synth=0.3),
+    "final_rand": dict(tie_embeddings=True, label_smoothing=0.1,
+                       aug_crop=0.2, aug_concat=0.2, aug_synth=0.3,
+                       train_snr_random=True),
+    "final_rand_cos": dict(tie_embeddings=True, label_smoothing=0.1,
+                           aug_crop=0.2, aug_concat=0.2, aug_synth=0.3,
+                           train_snr_random=True, schedule="cosine",
+                           decay_steps=120000),
 }
 
 

@@ -194,3 +194,33 @@ def test_make_train_dataset_plain_when_no_aug(tiny_cfg):
     assert isinstance(ds, Dataset)
     aug = make_train_dataset(raw, tiny_cfg.replace(bs=8, aug_crop=0.5))
     assert isinstance(aug, AugmentedDataset)
+
+
+# ------------------------------------------------------- snr randomization ----
+
+def test_step_noise_random_in_range(tiny_cfg):
+    from deepsc_gan_tpu.train.steps import _step_noise
+    cfg = tiny_cfg.replace(train_snr_random=True, train_snr_lo=0.0,
+                           train_snr_hi=18.0)
+    vals = [float(_step_noise(cfg, jax.random.PRNGKey(i), 0.5))
+            for i in range(50)]
+    # n_std = 10^(-snr/20): snr in [0, 18] -> n_std in [0.126, 1.0]
+    assert all(0.1258 <= v <= 1.0 for v in vals)
+    assert max(vals) - min(vals) > 0.2  # actually varies
+    # fixed mode passes n_std through untouched
+    assert float(_step_noise(tiny_cfg, jax.random.PRNGKey(0), 0.37)) == 0.37
+
+
+def test_train_snr_random_trains(tiny_cfg, tiny_batch):
+    cfg = tiny_cfg.replace(train_snr_random=True, lr=2e-3)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    step = make_train_step(model, cfg)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(50):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tiny_batch, tiny_batch, sub, 0.1)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
