@@ -265,6 +265,7 @@ class SDecoder(nn.Module):
     dropout: float = 0.1
     ffn_mode: str = "mlp"
     max_position: int = 512
+    tie_embeddings: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -280,8 +281,14 @@ class SDecoder(nn.Module):
                 name=f"layer{i}")
             for i in range(self.num_layers)
         ]
-        self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                                    param_dtype=self.param_dtype)
+        if self.tie_embeddings:
+            # weight tying with the decoder embedding (see
+            # models/transformer.py Decoder.setup for rationale)
+            self.final_bias = self.param("final_bias", nn.initializers.zeros,
+                                         (self.vocab_size,), self.param_dtype)
+        else:
+            self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                        param_dtype=self.param_dtype)
 
     def __call__(self, tar, x, look_ahead_mask, padding_mask=None,
                  *, deterministic: bool = True, apply_final: bool = True):
@@ -294,6 +301,10 @@ class SDecoder(nn.Module):
         return x
 
     def final_projection(self, x):
+        if self.tie_embeddings:
+            E = self.embed.table().astype(jnp.float32)
+            return x.astype(jnp.float32) @ E.T + self.final_bias.astype(
+                jnp.float32)
         return self.final_layer(x)
 
 
@@ -338,6 +349,7 @@ class SD(nn.Module):
     dropout: float = 0.1
     ffn_mode: str = "mlp"
     max_position: int = 512
+    tie_embeddings: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -349,8 +361,14 @@ class SD(nn.Module):
             self.cycle_num, self.d_model, self.num_heads, self.dff,
             self.dropout, self.ffn_mode, separate_relay=True,
             dtype=self.dtype, param_dtype=self.param_dtype)
-        self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
-                                    param_dtype=self.param_dtype)
+        if self.tie_embeddings:
+            # weight tying with the decoder embedding (see
+            # models/transformer.py Decoder.setup for rationale)
+            self.final_bias = self.param("final_bias", nn.initializers.zeros,
+                                         (self.vocab_size,), self.param_dtype)
+        else:
+            self.final_layer = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                                        param_dtype=self.param_dtype)
 
     def __call__(self, tar, x, look_ahead_mask, padding_mask=None,
                  *, deterministic: bool = True, apply_final: bool = True):
@@ -362,4 +380,8 @@ class SD(nn.Module):
         return x
 
     def final_projection(self, x):
+        if self.tie_embeddings:
+            E = self.embed.table().astype(jnp.float32)
+            return x.astype(jnp.float32) @ E.T + self.final_bias.astype(
+                jnp.float32)
         return self.final_layer(x)

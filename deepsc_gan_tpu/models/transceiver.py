@@ -146,7 +146,8 @@ class TransceiverStarMulti(_TransceiverBase):
         self.semantic_decoder = SDecoder(
             cfg.cycle_num, cfg.decoder_num_layer, cfg.decoder_d_model,
             cfg.decoder_num_heads, cfg.decoder_d_ff, cfg.vocab_size,
-            cfg.decoder_dropout, cfg.ffn_mode, dtype=dtype,
+            cfg.decoder_dropout, cfg.ffn_mode,
+            tie_embeddings=cfg.tie_embeddings, dtype=dtype,
             param_dtype=param_dtype)
         self.channel_encoder = ChannelEncoder(
             cfg.channel_hidden, cfg.channel_dim, dtype=dtype,
@@ -172,7 +173,8 @@ class TransceiverStar(_TransceiverBase):
         self.semantic_decoder = SD(
             cfg.cycle_num, cfg.decoder_d_model, cfg.decoder_num_heads,
             cfg.decoder_d_ff, cfg.vocab_size, cfg.decoder_dropout,
-            cfg.ffn_mode, dtype=dtype, param_dtype=param_dtype)
+            cfg.ffn_mode, tie_embeddings=cfg.tie_embeddings, dtype=dtype,
+            param_dtype=param_dtype)
         self.channel_encoder = ChannelEncoder(
             cfg.channel_hidden, cfg.channel_dim, dtype=dtype,
             param_dtype=param_dtype)

@@ -1,0 +1,142 @@
+"""Measured fading-channel curves (round-2 item #4, VERDICT.md).
+
+Reproduces the reference's Rician results protocol
+(`DeepSC-GAN/log/eval-D-GAN-STAR/eval-Rician.pkl`: teacher-forced FGM
+eval, SNR 0-18 dB, attacked+clean BLEU — shape 0.11-0.35 @ 0dB rising to
+0.85-0.99 @ 18dB) plus greedy-decode curves and the Q3 equalizer ablation
+(the reference computes LS/MMSE equalization but RETURNS the un-equalized
+signal, transceiver.py:74-81 — here all three paths are measured).
+
+For each channel in {Rician, Rayleigh}:
+  1. train the vanilla transceiver on that channel (90/10 split of the
+     committed corpus, quality levers on);
+  2. teacher-forced FGM eval sweep -> eval-<channel>.pkl
+     rows [snr, bleu_clean, bleu_attacked, loss_clean, loss_attacked];
+  3. greedy-decode BLEU sweep -> test-<channel>-greedy.pkl, for
+     equalizer in {none, LS, MMSE} (same params — the equalizer is a
+     receive-path switch, not a parameter).
+
+Run ONE process at a time on the TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsc_gan_tpu.data.augment import make_train_dataset
+from deepsc_gan_tpu.data.loader import pad_sequences, stacked_batches
+from deepsc_gan_tpu.data.vocab import Vocab
+from deepsc_gan_tpu.evaluate.evaluator import (
+    save_result_table,
+    snr_sweep_bleu_fast,
+    teacher_forced_sweep,
+)
+from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+from deepsc_gan_tpu.models.channel import snr_to_noise
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.train.steps import create_train_state, make_train_multi_step
+from deepsc_gan_tpu.utils.config import Config
+from scripts.parity_sweep import REF_DATA, REF_VOCAB, split_data
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def train(cfg: Config, train_raw, epochs: int, k: int, seed: int):
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(seed))
+    multi = make_train_multi_step(model, cfg)
+    ds = make_train_dataset(train_raw, cfg, seed=seed)
+    stacker = stacked_batches(ds, k)
+    n_std = float(snr_to_noise(cfg.train_snr))
+    key = jax.random.PRNGKey(seed + 1)
+    for epoch in range(epochs):
+        for _ in range(max(1, len(ds) // k)):
+            key, sub = jax.random.split(key)
+            b = jnp.asarray(next(stacker))
+            state, losses = multi(state, b, b, sub, n_std)
+        if (epoch + 1) % 50 == 0:
+            print(f"  ep{epoch + 1} loss={float(losses[-1]):.3f}",
+                  flush=True)
+    return model, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", default="Rician,Rayleigh")
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pnr-db", type=float, default=10.0)
+    ap.add_argument("--epsilon", type=float, default=1.0)
+    ap.add_argument("--log-dir", default="log/fading")
+    ap.add_argument("--levers", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="tied embeddings + smoothing + augmentation + "
+                         "random train SNR (off = reference recipe)")
+    args = ap.parse_args()
+    os.makedirs(args.log_dir, exist_ok=True)
+
+    levers = dict(tie_embeddings=True, label_smoothing=0.1, aug_crop=0.2,
+                  aug_concat=0.2, aug_synth=0.3,
+                  train_snr_random=True) if args.levers else {}
+    train_raw, held = split_data(REF_DATA, seed=0)
+    vocab = Vocab.load(REF_VOCAB)
+    snrs = list(range(0, 19))
+
+    for channel in args.channels.split(","):
+        cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2,
+                     channel=channel, **levers)
+        held_pad = pad_sequences(held, maxlen=cfg.seq_len)
+        held_batches = [held_pad[i : i + cfg.bs]
+                        for i in range(0, len(held_pad) - cfg.bs + 1,
+                                       cfg.bs)]
+        print(f"=== {channel}: training {args.epochs} epochs", flush=True)
+        model, state = train(cfg, train_raw, args.epochs, args.k, args.seed)
+
+        # teacher-forced FGM table (reference eval-Rician.pkl protocol:
+        # the attack gradient comes from an AWGN pass, eval.py:204-213)
+        from deepsc_gan_tpu.train.steps import make_eval_step
+        step = make_eval_step(model, cfg)
+        table = teacher_forced_sweep(step, state, held_batches, vocab, cfg,
+                                     snrs=snrs, pnr_db=args.pnr_db,
+                                     epsilon=args.epsilon,
+                                     key=jax.random.PRNGKey(99))
+        save_result_table(table, os.path.join(args.log_dir,
+                                              f"eval-{channel}.pkl"))
+        for r in table:
+            print(f"  TF SNR={r[0]:.0f} clean={r[1]:.3f} att={r[2]:.3f}",
+                  flush=True)
+
+        # greedy curves under the Q3 equalizer ablation (same params)
+        eq_results = {}
+        for eq in (None, "LS", "MMSE"):
+            cfg_eq = cfg.replace(equalizer=eq)
+            model_eq = make_model(cfg_eq, "transformer")
+            sweep_fn = make_greedy_decode_sweep(model_eq, cfg_eq)
+            t = snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
+                                    vocab, cfg_eq, snrs=snrs,
+                                    key=jax.random.PRNGKey(99))
+            eq_results[str(eq)] = t
+            save_result_table(t, os.path.join(
+                args.log_dir, f"test-{channel}-greedy-eq{eq}.pkl"))
+            print(f"  greedy eq={eq}: " +
+                  " ".join(f"{b:.3f}" for _, b in t[::3]), flush=True)
+        with open(os.path.join(args.log_dir,
+                               f"summary-{channel}.json"), "w") as f:
+            json.dump({"teacher_forced": table, "greedy_eq": eq_results},
+                      f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -224,3 +224,21 @@ def test_train_snr_random_trains(tiny_cfg, tiny_batch):
         state, loss = step(state, tiny_batch, tiny_batch, sub, 0.1)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("variant", ["star", "star_multi"])
+def test_tied_star_decoders_train(tiny_cfg, tiny_batch, variant):
+    cfg = tiny_cfg.replace(tie_embeddings=True, lr=2e-3)
+    model = make_model(cfg, variant)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    dec = state.params["semantic_decoder"]
+    assert "final_layer" not in dec and "final_bias" in dec
+    step = make_train_step(model, cfg, full_target=True)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tiny_batch, tiny_batch, sub, 0.02)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
