@@ -21,12 +21,38 @@ def _remove_tags(s: str) -> str:
 
 class BleuScore:
     """Per-sentence BLEU with configurable 1-4-gram weights (reference
-    `BleuScore`, tools.py:30-43, backed by NLTK `sentence_bleu`)."""
+    `BleuScore`, tools.py:30-43, backed by NLTK `sentence_bleu`).
 
-    def __init__(self, w1: float, w2: float, w3: float, w4: float):
+    Fast path: words are interned to int ids and scored by the native C++
+    batch scorer (native/bleu.cc — exact NLTK semantics incl. method0
+    zero-numerator handling and brevity penalty, fuzz-tested against NLTK
+    in tests/test_native.py). Falls back to NLTK when the native library
+    is unavailable or `native=False`."""
+
+    def __init__(self, w1: float, w2: float, w3: float, w4: float,
+                 native: bool = True):
         self.weights = (w1, w2, w3, w4)
+        self.native = native
+
+    def _compute_native(self, real, predicted):
+        from deepsc_gan_tpu import native as nat
+
+        intern: dict = {}
+
+        def ids(sent):
+            return [intern.setdefault(w, len(intern))
+                    for w in _remove_tags(sent).split()]
+
+        refs = [ids(s) for s in real]
+        hyps = [ids(s) for s in predicted]
+        return nat.bleu_batch(refs, hyps, self.weights).tolist()
 
     def compute_score(self, real: Sequence[str], predicted: Sequence[str]) -> List[float]:
+        if self.native:
+            try:
+                return self._compute_native(real, predicted)
+            except (RuntimeError, ImportError):
+                pass  # no compiler in this environment -> NLTK
         from nltk.translate.bleu_score import sentence_bleu
 
         scores = []

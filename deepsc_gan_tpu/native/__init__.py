@@ -21,6 +21,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libtextpipe.so")
 _SRC = os.path.join(_DIR, "text_pipeline.cc")
+_SRC_BLEU = os.path.join(_DIR, "bleu.cc")
 
 _lib: Optional[ctypes.CDLL] = None
 _build_error: Optional[str] = None
@@ -28,9 +29,11 @@ _build_error: Optional[str] = None
 
 def _build() -> Optional[str]:
     """Compile the shared library if needed. Returns error text or None."""
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    srcs = [_SRC, _SRC_BLEU]
+    if os.path.exists(_SO) and all(
+            os.path.getmtime(_SO) >= os.path.getmtime(s) for s in srcs):
         return None
-    cmd = ["g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", *srcs, "-o", _SO]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=120)
@@ -63,6 +66,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int)]
+    lib.dsc_bleu_batch.restype = ctypes.c_int
+    lib.dsc_bleu_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -106,6 +115,36 @@ def normalize_lines(lines: Sequence[str]) -> List[str]:
     raw = out.raw
     return [raw[out_offsets[i]:out_offsets[i + 1]].decode("ascii")
             for i in range(len(blobs))]
+
+
+def bleu_batch(refs: Sequence[Sequence[int]], hyps: Sequence[Sequence[int]],
+               weights: Sequence[float]) -> np.ndarray:
+    """Per-pair sentence BLEU over integer token sequences — exact NLTK
+    `sentence_bleu` semantics (single reference, method0 smoothing).
+    Tokens may be any int ids; the text path interns words first."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError(f"native build failed: {_build_error}")
+    assert len(refs) == len(hyps)
+
+    def flatten(seqs):
+        flat = np.fromiter((t for s in seqs for t in s), np.int32,
+                           count=sum(len(s) for s in seqs))
+        off = np.zeros(len(seqs) + 1, np.int32)
+        np.cumsum([len(s) for s in seqs], out=off[1:])
+        return flat, off
+
+    rflat, roff = flatten(refs)
+    hflat, hoff = flatten(hyps)
+    w = np.asarray(list(weights) + [0.0] * (4 - len(weights)), np.float64)
+    out = np.empty(len(refs), np.float64)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.dsc_bleu_batch(
+        rflat.ctypes.data_as(ip), roff.ctypes.data_as(ip),
+        hflat.ctypes.data_as(ip), hoff.ctypes.data_as(ip), len(refs),
+        w.ctypes.data_as(dp), out.ctypes.data_as(dp))
+    return out
 
 
 def pad_sequences(seqs: Sequence[Sequence[int]], maxlen: int = 31,
