@@ -282,7 +282,14 @@ def cmd_evaluate(args) -> None:
         # all SNR points in one device call per batch
         from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
         from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
-        sweep_fn = make_greedy_decode_sweep(model, cfg, position_mode=pm)
+        if args.kv_cache and pm == "step":
+            # KV-cached autoregressive decode (token-identical at f32)
+            from deepsc_gan_tpu.evaluate.kv_decode import (
+                make_greedy_decode_kv_sweep)
+            sweep_fn = make_greedy_decode_kv_sweep(model, cfg)
+        else:
+            sweep_fn = make_greedy_decode_sweep(model, cfg,
+                                                position_mode=pm)
         table = snr_sweep_bleu_fast(sweep_fn, state.params, batches, vocab,
                                     cfg, snrs=snrs, pnr_db=args.pnr_db,
                                     key=key, metric=args.metric)
@@ -380,6 +387,10 @@ def main(argv=None) -> None:
                            choices=["greedy", "beam", "greedy_attack",
                                     "greedy_gan", "teacher_forced", "pgd"])
             p.add_argument("--beam-size", type=int, default=4)
+            p.add_argument("--kv-cache", action="store_true",
+                           help="greedy mode: KV-cached decode (O(L) "
+                                "projections instead of O(L^2); "
+                                "token-identical at f32)")
             p.add_argument("--metric", default="bleu",
                            choices=["bleu", "similarity", "both"],
                            help="text metric column(s) in the result table "
