@@ -249,6 +249,7 @@ def cmd_train(args) -> None:
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == cfg.epochs:
             ckpt.save(epoch + 1, state)
             t_epoch = time.time()
+    ckpt.close()  # join pending async writes before exit
     logger.close()
     print(f"[train] done: {step_i} steps")
 

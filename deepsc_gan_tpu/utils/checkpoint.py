@@ -19,13 +19,22 @@ from deepsc_gan_tpu.train.steps import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = True):
+        """`async_save=True` (default) returns from save() as soon as the
+        state is snapshotted off the device — the ~seconds of filesystem
+        serialization overlap with subsequent training dispatches (a sync
+        Orbax save costs ~4s at the 7M-param scale vs 0.4s epochs; see
+        RESULTS.md). Pending writes are joined at the next save / restore /
+        close, so keep-N retention and exact resume are unchanged."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True),
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save),
         )
 
     def save(self, epoch: int, state: TrainState,
@@ -35,6 +44,10 @@ class CheckpointManager:
         if extra:
             payload["extra"] = extra
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
@@ -44,6 +57,7 @@ class CheckpointManager:
                 epoch: Optional[int] = None) -> TrainState:
         """Restore into the structure of `state` (shapes/dtypes taken from
         it, so it works across hosts/meshes)."""
+        self._mgr.wait_until_finished()  # join any pending async write
         epoch = epoch if epoch is not None else self._mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")

@@ -45,6 +45,7 @@ def test_checkpoint_keep_n(tiny_cfg, tiny_batch, tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
     for epoch in (1, 2, 3, 4):
         mgr.save(epoch, state)
+    mgr.wait()  # saves are async by default; join before inspecting disk
     assert mgr.latest_epoch() == 4
     kept = sorted(int(d) for d in os.listdir(tmp_path / "ckpt")
                   if d.isdigit())
