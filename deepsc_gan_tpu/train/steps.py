@@ -78,12 +78,20 @@ def _shift_targets(tar):
 def _step_noise(cfg: Config, key, n_std):
     """Per-step channel noise std: the given n_std, or (when
     cfg.train_snr_random) a fresh draw SNR ~ U(lo, hi) dB mapped through
-    n_std = 10^(-SNR/20) (models.channel.snr_to_noise)."""
+    n_std = 10^(-SNR/20) (models.channel.snr_to_noise). With
+    cfg.train_snr_mix < 1 the uniform draw happens only with that
+    probability, else the fixed n_std is kept — a low-SNR-anchored
+    curriculum."""
     if not cfg.train_snr_random:
         return n_std
-    snr = jax.random.uniform(key, (), jnp.float32,
+    k_u, k_b = jax.random.split(key)
+    snr = jax.random.uniform(k_u, (), jnp.float32,
                              cfg.train_snr_lo, cfg.train_snr_hi)
-    return 10.0 ** (-snr / 20.0)
+    drawn = 10.0 ** (-snr / 20.0)
+    if cfg.train_snr_mix >= 1.0:
+        return drawn
+    use = jax.random.bernoulli(k_b, cfg.train_snr_mix)
+    return jnp.where(use, drawn, n_std)
 
 
 def _loss_kwargs(cfg: Config):

@@ -63,10 +63,14 @@ class Config:
     test_snr: int = 6
     # extension: sample the training SNR per step from U(lo, hi) dB
     # instead of the fixed train_snr — the reference's 3dB-only training
-    # never shows the codec a clean channel, capping high-SNR BLEU
+    # never shows the codec a clean channel, capping high-SNR BLEU.
+    # train_snr_mix blends both: with that probability draw U(lo, hi),
+    # else use the fixed train_snr (keeps low-SNR mass while covering the
+    # full range; measured tradeoff in RESULTS.md).
     train_snr_random: bool = False
     train_snr_lo: float = 0.0
     train_snr_hi: float = 18.0
+    train_snr_mix: float = 1.0  # P(uniform draw) when train_snr_random
 
     # --- quirk switches (SURVEY.md §7 Q1-Q3; defaults = reference behavior)
     # Q1: the reference FFN sublayer is accidentally an identity layer

@@ -78,6 +78,14 @@ GRID = {
                            aug_crop=0.2, aug_concat=0.2, aug_synth=0.3,
                            train_snr_random=True, schedule="cosine",
                            decay_steps=120000),
+    # fixed-3dB / uniform mixture: keep final_rand's high-SNR wins while
+    # restoring the low-SNR mass that fixed-SNR training provides
+    "final_mix": dict(tie_embeddings=True, label_smoothing=0.1,
+                      aug_crop=0.2, aug_concat=0.2, aug_synth=0.3,
+                      train_snr_random=True, train_snr_mix=0.5),
+    "final_mix30": dict(tie_embeddings=True, label_smoothing=0.1,
+                        aug_crop=0.2, aug_concat=0.2, aug_synth=0.3,
+                        train_snr_random=True, train_snr_mix=0.3),
 }
 
 

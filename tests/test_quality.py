@@ -242,3 +242,15 @@ def test_tied_star_decoders_train(tiny_cfg, tiny_batch, variant):
         state, loss = step(state, tiny_batch, tiny_batch, sub, 0.02)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_step_noise_mix(tiny_cfg):
+    from deepsc_gan_tpu.train.steps import _step_noise
+    cfg = tiny_cfg.replace(train_snr_random=True, train_snr_mix=0.5,
+                           train_snr_lo=0.0, train_snr_hi=18.0)
+    fixed = 0.7071  # ~3dB
+    vals = [float(_step_noise(cfg, jax.random.PRNGKey(i), fixed))
+            for i in range(80)]
+    n_fixed = sum(abs(v - fixed) < 1e-6 for v in vals)
+    assert 15 < n_fixed < 65          # bernoulli actually mixes
+    assert any(abs(v - fixed) > 0.05 for v in vals)  # and draws vary
