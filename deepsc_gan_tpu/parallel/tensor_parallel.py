@@ -85,6 +85,14 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
     `shard_tp_state` to place the state before the first call."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
+    if cfg.tie_embeddings:
+        raise ValueError(
+            "vocab-parallel TP shards the untied final projection; with "
+            "tie_embeddings the projection IS the decoder embedding "
+            "(gather-heavy to shard) — use dp for tied models")
+    if cfg.label_smoothing:
+        raise ValueError("label_smoothing not yet folded into the "
+                         "vocab-parallel CE; use dp or alpha=0")
     ntp = mesh.shape[tp_axis]
     if cfg.vocab_size % ntp:
         raise ValueError(f"vocab {cfg.vocab_size} % tp {ntp} != 0 — pad the "

@@ -96,3 +96,18 @@ def test_tp_dp_combined(tiny_cfg, tiny_batch):
         state_tp, loss = step(state_tp, batch, batch, sub, 0.05)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_tp_rejects_tied_and_smoothed_configs(tiny_cfg):
+    import pytest
+    from deepsc_gan_tpu.parallel.mesh import make_mesh
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_train_step
+    from deepsc_gan_tpu.models.transceiver import make_model
+
+    mesh = make_mesh(dp=2, snr=2, axis_names=("tp", "dp"))
+    cfg = tiny_cfg.replace(tie_embeddings=True)
+    with pytest.raises(ValueError, match="tie_embeddings"):
+        make_tp_train_step(make_model(cfg, "transformer"), cfg, mesh)
+    cfg2 = tiny_cfg.replace(label_smoothing=0.1)
+    with pytest.raises(ValueError, match="label_smoothing"):
+        make_tp_train_step(make_model(cfg2, "transformer"), cfg2, mesh)
