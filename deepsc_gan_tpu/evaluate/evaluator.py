@@ -145,9 +145,24 @@ def teacher_forced_sweep(
     `step_fn` is any of make_eval_step / make_eval_step_pgd /
     make_gan_eval_step — all return
     (clean_loss, attacked_loss, clean_logits, attacked_logits, ...)."""
+    import jax.numpy as jnp
+
     key = key if key is not None else jax.random.PRNGKey(0)
     s2t = SeqToText(vocab, cfg.end_idx)
     scorers = make_scorers(metric, bleu_weights)
+
+    # argmax ON DEVICE: the raw (B, L, 22234) f32 logit pair is ~340MB per
+    # batch — pulling that device->host per call dominates (and over a
+    # tunneled TPU, breaks) the sweep; (B, L) int32 ids are ~7KB
+    inner = getattr(step_fn, "__wrapped__", step_fn)
+
+    @jax.jit
+    def step_ids(state, inp, tar, k, pnr, n_std, eps):
+        out = inner(state, inp, tar, k, pnr, n_std, eps)
+        return (out[0], out[1],
+                jnp.argmax(out[2], axis=-1).astype(jnp.int32),
+                jnp.argmax(out[3], axis=-1).astype(jnp.int32))
+
     table = []
     for snr in snrs:
         n_std = SNR_to_noise(snr)
@@ -156,14 +171,14 @@ def teacher_forced_sweep(
         ascores = [[] for _ in scorers]
         for inp in batches:
             key, sub = jax.random.split(key)
-            out = step_fn(state, inp, inp, sub, pnr_db, n_std, epsilon)
+            out = step_ids(state, inp, inp, sub, pnr_db, n_std, epsilon)
             cls.append(float(out[0]))
             als.append(float(out[1]))
             # teacher-forced logits predict the shifted target: position i
             # scores token inp[:, i+1] — so reference texts drop <START>
             ref = [s2t.sequence_to_text(row[1:]) for row in np.asarray(inp)]
-            for logits, dest in ((out[2], cscores), (out[3], ascores)):
-                ids = np.argmax(np.asarray(logits), axis=-1)
+            for ids, dest in ((np.asarray(out[2]), cscores),
+                              (np.asarray(out[3]), ascores)):
                 if ids.shape[1] == inp.shape[1]:
                     # star decoders score the UN-shifted target (position i
                     # predicts token i) — drop the predicted <START> slot
