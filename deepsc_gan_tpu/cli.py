@@ -357,6 +357,21 @@ def main(argv=None) -> None:
     pp.add_argument("--output-test-dir", default="data/txt/test_data.pkl")
     pp.add_argument("--output-vocab", default="data/txt/vocab.json")
 
+    bl = sub.add_parser(
+        "baseline",
+        help="classical Huffman+Turbo+QAM BLEU-vs-SNR sweep (the "
+             "reference's MATLAB-artifact-only pipeline, in code)")
+    bl.add_argument("--data", required=True,
+                    help="pickle of raw sentences (e.g. the reference's "
+                         "common/data/data.pkl)")
+    bl.add_argument("--out", default="log/classical-log.pkl")
+    bl.add_argument("--block-k", type=int, default=512)
+    bl.add_argument("--iters", type=int, default=6)
+    bl.add_argument("--mod-bits", type=int, default=6, help="6 = 64-QAM")
+    bl.add_argument("--baseline-pnr-db", type=float, default=10.0)
+    bl.add_argument("--snrs", default=",".join(str(s) for s in range(19)))
+    bl.add_argument("--baseline-seed", type=int, default=0)
+
     for name in ("train", "evaluate"):
         p = sub.add_parser(name)
         add_config_args(p)
@@ -408,6 +423,22 @@ def main(argv=None) -> None:
                  "--output-train-dir", args.output_train_dir,
                  "--output-test-dir", args.output_test_dir,
                  "--output-vocab", args.output_vocab])
+    elif args.cmd == "baseline":
+        import pickle
+
+        from deepsc_gan_tpu.baselines.pipeline import classical_sweep
+
+        with open(args.data, "rb") as f:
+            sentences = pickle.load(f)
+        rows = classical_sweep(
+            sentences, [float(s) for s in args.snrs.split(",")],
+            block_k=args.block_k, iters=args.iters,
+            mod_bits=args.mod_bits, pnr_db=args.baseline_pnr_db,
+            seed=args.baseline_seed)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "wb") as f:
+            pickle.dump(rows, f)
+        print(f"wrote {args.out}")
     elif args.cmd == "train":
         cmd_train(args)
     else:

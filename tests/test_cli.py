@@ -198,3 +198,28 @@ def test_cli_train_single_step_fallback(tmp_path):
     cli.main(["train", "--variant", "transformer", "--scan-steps", "1",
               "--log-every", "1000"] + common)
     assert os.path.exists(os.path.join(str(tmp_path / "log"), "train.jsonl"))
+
+
+def test_cli_classical_baseline(tmp_path):
+    """`baseline` subcommand: the reference's MATLAB-artifact-only
+    Huffman+Turbo pipeline, runnable from the CLI (SURVEY.md §2.36)."""
+    sents = [
+        "the house rose and observed a minute s silence",
+        "this is all in accordance with the principles",
+        "the principles that we have always upheld",
+        "thank you i shall do so gladly",
+    ] * 3
+    data = tmp_path / "sents.pkl"
+    with open(data, "wb") as f:
+        pickle.dump(sents, f)
+    out = tmp_path / "classical.pkl"
+    cli.main(["baseline", "--data", str(data), "--out", str(out),
+              "--block-k", "128", "--iters", "3", "--mod-bits", "4",
+              "--snrs", "16"])
+    with open(out, "rb") as f:
+        rows = pickle.load(f)
+    assert len(rows) == 1
+    snr, bleu_attacked, bleu_clean = rows[0]
+    assert snr == 16.0
+    assert bleu_clean > 0.95          # 16-QAM turbo is clean at 16 dB
+    assert bleu_attacked < bleu_clean  # attack collapses classical coding
