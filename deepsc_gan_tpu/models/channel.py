@@ -57,9 +57,16 @@ def fading(
     k_factor: float = 0.0,
     n_std=0.1,
     equalizer: Optional[str] = None,
+    per_sample: bool = False,
 ) -> jnp.ndarray:
     """Flat (scalar) Rayleigh/Rician fading channel; k_factor is the Rician
-    K (0 => Rayleigh). `p` accepted-and-unused, as in the reference."""
+    K (0 => Rayleigh). `p` accepted-and-unused, as in the reference.
+
+    per_sample: draw an independent fade per batch row instead of the
+    reference's single scalar per call (transceiver.py:49-51 draws shape
+    (1,)). Same marginal fade statistics; 64x more fade realizations per
+    training step, which is a pure sample-efficiency lever for learning
+    fade-invariant codes. Keep False for reference-protocol evals."""
     del p  # reference fading never injects the perturbation
     x = x.astype(jnp.float32)
     bs, sent_len, d = x.shape
@@ -71,8 +78,9 @@ def fading(
     x_complex = jax.lax.complex(xc[:, :, 0], xc[:, :, 1])
 
     kh, kn = jax.random.split(key)
-    h = mean + std * jax.random.normal(kh, (2,), jnp.float32)
-    h_complex = jax.lax.complex(h[0], h[1])
+    h_shape = (bs, 1, 2) if per_sample else (2,)
+    h = mean + std * jax.random.normal(kh, h_shape, jnp.float32)
+    h_complex = jax.lax.complex(h[..., 0], h[..., 1])
 
     n = n_std * jax.random.normal(kn, xc.shape, jnp.float32)
     n_complex = jax.lax.complex(n[:, :, 0], n[:, :, 1])
@@ -101,6 +109,7 @@ def channel(
     n_std=0.1,
     kind: str = "AWGN",
     equalizer: Optional[str] = None,
+    per_sample: bool = False,
 ) -> jnp.ndarray:
     """Dispatch like the reference `Channels.call` (transceiver.py:17-23):
     'AWGN' | 'Rayleigh' (K=0) | anything else => Rician (K=1). `kind` is a
@@ -109,8 +118,8 @@ def channel(
     if kind == "AWGN":
         return awgn(key, x, p, pnr_db, n_std)
     if kind == "Rayleigh":
-        return fading(key, x, p, pnr_db, 0.0, n_std, equalizer)
-    return fading(key, x, p, pnr_db, 1.0, n_std, equalizer)
+        return fading(key, x, p, pnr_db, 0.0, n_std, equalizer, per_sample)
+    return fading(key, x, p, pnr_db, 1.0, n_std, equalizer, per_sample)
 
 
 def power_normalize(x: jnp.ndarray, half: bool = False) -> jnp.ndarray:

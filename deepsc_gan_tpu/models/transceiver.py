@@ -58,7 +58,8 @@ class _TransceiverBase(nn.Module):
         """tx -> received symbols y through the configured channel."""
         kind = channel_kind or self.cfg.channel
         return channel_fn(key, tx, p, pnr_db, n_std, kind=kind,
-                          equalizer=self.cfg.equalizer)
+                          equalizer=self.cfg.equalizer,
+                          per_sample=self.cfg.fading_per_sample)
 
     def decode(self, tar_inp, y, combined_mask=None, dec_padding_mask=None,
                *, deterministic: bool = True, apply_final: bool = True):

@@ -96,6 +96,10 @@ class Config:
     aug_crop: float = 0.0          # P(random contiguous word-span crop)
     aug_concat: float = 0.0        # P(concat two sentences, truncate)
     aug_synth: float = 0.0         # P(synthetic full-vocab sentence)
+    # per-row fade draw in training (same marginal statistics as the
+    # reference's one-scalar-per-call fade, 64x more realizations/step;
+    # keep False for reference-protocol evals — models/channel.py:fading)
+    fading_per_sample: bool = False
 
     # --- schedule (reference: modules.py:719-735; the committed notebooks
     #     used plain Adam(lr) per parameters.py:22 — "noam" optional)

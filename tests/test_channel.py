@@ -133,3 +133,44 @@ def test_channel_differentiable():
 
     g = jax.grad(f)(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fading_per_sample_draws_independent_fades():
+    """per_sample=True: each batch row gets its own fade (the training
+    sample-efficiency lever); per_sample=False (default, reference
+    protocol, transceiver.py:49-51) applies ONE scalar fade to all rows.
+    Marginal statistics match in both modes."""
+    x = jnp.ones((16, 8, 2))
+    p = jnp.zeros_like(x)
+    y_scalar = fading(jax.random.PRNGKey(0), x, p, 0.0, 0.0, n_std=0.0)
+    y_per = fading(jax.random.PRNGKey(0), x, p, 0.0, 0.0, n_std=0.0,
+                   per_sample=True)
+    # scalar mode: every row identical; per-sample mode: rows differ
+    row_var_scalar = float(jnp.var(y_scalar[:, 0, 0]))
+    row_var_per = float(jnp.var(y_per[:, 0, 0]))
+    assert row_var_scalar < 1e-12
+    assert row_var_per > 1e-3
+    # within a row the fade is constant in both modes
+    np.testing.assert_allclose(np.asarray(y_per[0, 0]),
+                               np.asarray(y_per[0, -1]), rtol=1e-5)
+    # Rayleigh marginal: E[|h|^2] = 1 across rows
+    gains = []
+    for i in range(60):
+        y = fading(jax.random.PRNGKey(i), x, p, 0.0, 0.0, n_std=0.0,
+                   per_sample=True)
+        gains.append(np.mean(np.asarray(
+            y[..., 0] ** 2 + y[..., 1] ** 2)) / 2.0)
+    assert np.isclose(np.mean(gains), 1.0, rtol=0.15)
+
+
+def test_fading_per_sample_equalizers_broadcast():
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 4))
+    p = jnp.zeros_like(x)
+    for eq in ("LS", "MMSE"):
+        y = fading(jax.random.PRNGKey(1), x, p, 0.0, 1.0, n_std=0.0,
+                   equalizer=eq, per_sample=True)
+        assert y.shape == x.shape
+    # LS with zero noise inverts the per-row fade exactly
+    y = fading(jax.random.PRNGKey(1), x, p, 0.0, 1.0, n_std=0.0,
+               equalizer="LS", per_sample=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
