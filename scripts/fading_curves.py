@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -110,6 +111,11 @@ def main():
     ap.add_argument("--pnr-db", type=float, default=10.0)
     ap.add_argument("--epsilon", type=float, default=1.0)
     ap.add_argument("--log-dir", default="log/fading")
+    ap.add_argument("--repeats", type=int, default=8,
+                    help="final sweeps average over this many key repeats "
+                         "(each batch sees ONE scalar fade per call — "
+                         "reference protocol — so repeats cut the fade-"
+                         "draw variance of the published tables)")
     ap.add_argument("--levers", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="tied embeddings + smoothing + augmentation + "
@@ -137,18 +143,28 @@ def main():
         print(f"=== {channel}: training {args.epochs} epochs", flush=True)
         model, state = train(cfg, train_raw, held_batches, vocab,
                              args.epochs, args.k, args.seed)
+        with open(os.path.join(args.log_dir,
+                               f"{channel}_best_params.pkl"), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state.params), f)
+
+        def avg_tables(tables):
+            """Element-wise mean of repeat sweeps (same snr column)."""
+            arr = np.asarray(tables, dtype=np.float64)
+            return np.mean(arr, axis=0).tolist()
 
         # teacher-forced FGM table (reference eval-Rician.pkl protocol:
-        # the attack gradient comes from an AWGN pass, eval.py:204-213)
+        # the attack gradient comes from an AWGN pass, eval.py:204-213),
+        # averaged over fade-draw repeats
         from deepsc_gan_tpu.train.steps import make_eval_step
         eval_cfg = cfg.replace(fading_per_sample=False)
         eval_model = make_model(eval_cfg, "transformer")
         step = make_eval_step(eval_model, eval_cfg)
-        table = teacher_forced_sweep(step, state, held_batches, vocab,
-                                     eval_cfg,
-                                     snrs=snrs, pnr_db=args.pnr_db,
-                                     epsilon=args.epsilon,
-                                     key=jax.random.PRNGKey(99))
+        table = avg_tables([
+            teacher_forced_sweep(step, state, held_batches, vocab,
+                                 eval_cfg, snrs=snrs, pnr_db=args.pnr_db,
+                                 epsilon=args.epsilon,
+                                 key=jax.random.PRNGKey(100 + r))
+            for r in range(args.repeats)])
         save_result_table(table, os.path.join(args.log_dir,
                                               f"eval-{channel}.pkl"))
         for r in table:
@@ -161,9 +177,11 @@ def main():
             cfg_eq = cfg.replace(equalizer=eq, fading_per_sample=False)
             model_eq = make_model(cfg_eq, "transformer")
             sweep_fn = make_greedy_decode_sweep(model_eq, cfg_eq)
-            t = snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
+            t = avg_tables([
+                snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
                                     vocab, cfg_eq, snrs=snrs,
-                                    key=jax.random.PRNGKey(99))
+                                    key=jax.random.PRNGKey(100 + r))
+                for r in range(args.repeats)])
             eq_results[str(eq)] = t
             save_result_table(t, os.path.join(
                 args.log_dir, f"test-{channel}-greedy-eq{eq}.pkl"))
