@@ -101,6 +101,46 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
     return steps * scan_k * batch_size / best, flops
 
 
+def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
+                 reps: int, warmup: int):
+    """Greedy-decode (serving) throughput: decoded sequences/sec across a
+    fused SNR sweep (one dispatch covers snr_points noise levels x B
+    sentences, 30 autoregressive steps each — the reference decodes the
+    same workload with a Python loop re-running the full decoder stack
+    per token, utlis/eval.py:99-115)."""
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import Config
+
+    cfg = Config(bs=batch_size, dtype=dtype)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    if kv:
+        from deepsc_gan_tpu.evaluate.kv_decode import (
+            make_greedy_decode_kv_sweep)
+        sweep = make_greedy_decode_kv_sweep(model, cfg)
+    else:
+        from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+        sweep = make_greedy_decode_sweep(model, cfg)
+
+    inp = jax.random.randint(jax.random.PRNGKey(1),
+                             (batch_size, cfg.seq_len), 0, cfg.vocab_size,
+                             jnp.int32)
+    n_stds = jnp.linspace(0.11, 1.0, snr_points)
+    key = jax.random.PRNGKey(2)
+    for _ in range(warmup):
+        ids = sweep(state.params, inp, key, 0.0, n_stds)
+    int(np.asarray(ids[0, 0, 0]))  # sync
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids = sweep(state.params, inp, key, 0.0, n_stds)
+        int(np.asarray(ids[0, 0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    return batch_size * snr_points / best
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=4,
@@ -113,6 +153,9 @@ def main() -> None:
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--scaling", action="store_true",
                         help="also measure B=256/1024 rows (extra compiles)")
+    parser.add_argument("--decode", action="store_true",
+                        help="also measure greedy-decode (serving) "
+                             "throughput, full-prefix and KV-cached")
     args = parser.parse_args()
 
     sents_per_sec, flops = bench_batch(args.batch, args.scan_steps,
@@ -134,6 +177,14 @@ def main() -> None:
         achieved = flops * per_chip / args.batch  # FLOP/step * steps/sec
         out["flops_per_step"] = round(flops)
         out["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_PEAK_FLOPS, 4)
+
+    if args.decode:
+        out["decode_sents_per_sec"] = round(
+            bench_decode(args.batch, args.dtype, False, 19, args.reps,
+                         args.warmup) / n_chips, 1)
+        out["decode_kv_sents_per_sec"] = round(
+            bench_decode(args.batch, args.dtype, True, 19, args.reps,
+                         args.warmup) / n_chips, 1)
 
     if args.scaling:
         rows = {}
