@@ -84,9 +84,12 @@ class Similarity:
         import torch  # noqa: F401
         from transformers import AutoModel, AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        # local_files_only: no network egress here — fail fast to the
+        # UnigramSimilarity fallback instead of HF's retry loop
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_path, local_files_only=True)
         self.model = AutoModel.from_pretrained(
-            model_path, output_hidden_states=True)
+            model_path, output_hidden_states=True, local_files_only=True)
         self.model.eval()
         self.layer = layer
         self.max_len = max_len
