@@ -44,6 +44,18 @@ def test_unigram_similarity():
     assert np.isclose(s[0], 1.0) and s[1] == 0.0
 
 
+def test_make_scorers_offline_fallback():
+    # no local BERT weights in this environment: "both" must fail fast to
+    # the unigram fallback (local_files_only — no network retry loop) and
+    # still return two working scorers
+    from deepsc_gan_tpu.evaluate.evaluator import make_scorers
+
+    scorers = make_scorers("both")
+    assert [name for name, _ in scorers] == ["bleu", "similarity"]
+    s = scorers[1][1].compute_score(["the cat sat"], ["the cat sat"])
+    assert np.isclose(s[0], 1.0)
+
+
 def test_result_table_round_trip(tmp_path):
     table = [[0.0, 0.5], [3.0, 0.7]]
     path = str(tmp_path / "log" / "test.pkl")
