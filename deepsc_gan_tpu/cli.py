@@ -283,7 +283,21 @@ def cmd_evaluate(args) -> None:
         # all SNR points in one device call per batch
         from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
         from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
-        if args.kv_cache and pm == "step":
+        if args.snr_parallel > 1:
+            # shard the SNR axis of the sweep over a device mesh — each
+            # device (group) decodes its own points of the BLEU-vs-SNR
+            # curve (params/batch replicated, collectives over ICI)
+            from deepsc_gan_tpu.parallel.mesh import make_mesh
+            from deepsc_gan_tpu.parallel.sharding import (
+                make_parallel_greedy_sweep)
+            if len(snrs) % args.snr_parallel:
+                raise SystemExit(
+                    f"--snr-parallel {args.snr_parallel} must divide the "
+                    f"number of SNR points ({len(snrs)})")
+            mesh = make_mesh(dp=1, snr=args.snr_parallel)
+            sweep_fn = make_parallel_greedy_sweep(model, cfg, mesh,
+                                                  position_mode=pm)
+        elif args.kv_cache and pm == "step":
             # KV-cached autoregressive decode (token-identical at f32)
             from deepsc_gan_tpu.evaluate.kv_decode import (
                 make_greedy_decode_kv_sweep)
@@ -415,6 +429,10 @@ def main(argv=None) -> None:
             p.add_argument("--eval-batches", type=int, default=8)
             p.add_argument("--snr-lo", type=int, default=0)
             p.add_argument("--snr-hi", type=int, default=18)
+            p.add_argument("--snr-parallel", type=int, default=1,
+                           help="greedy mode: shard the SNR sweep axis "
+                                "over this many devices (must divide the "
+                                "SNR point count)")
 
     args = parser.parse_args(argv)
     if args.cmd == "preprocess":

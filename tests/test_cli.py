@@ -106,6 +106,32 @@ def test_cli_metric_both_columns(tmp_path):
     assert len(table[0]) == 7
 
 
+def test_cli_snr_parallel_greedy_eval(tmp_path):
+    """--snr-parallel shards the sweep's SNR axis over the (virtual)
+    device mesh through the CLI path."""
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", log,
+    ]
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "greedy", "--eval-batches", "1", "--snr-lo", "0",
+              "--snr-hi", "3", "--snr-parallel", "4"] + common)
+    with open(os.path.join(log, "test-transformer-greedy.pkl"), "rb") as f:
+        table = pickle.load(f)
+    assert [row[0] for row in table] == [0, 1, 2, 3]
+    assert all(0.0 <= row[1] <= 1.0 for row in table)
+
+    # point count not divisible by the mesh size -> clear error
+    with pytest.raises(SystemExit):
+        cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+                  "greedy", "--eval-batches", "1", "--snr-lo", "0",
+                  "--snr-hi", "4", "--snr-parallel", "4"] + common)
+
+
 def test_cli_beam_eval(tmp_path):
     log = str(tmp_path / "log")
     common = TINY + [
