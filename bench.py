@@ -41,6 +41,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 REFERENCE_SENTS_PER_SEC = 2500.0
 V5E_PEAK_FLOPS = 197e12  # bf16 per chip
+V5E_HBM_BYTES_PER_SEC = 819e9  # per chip
 
 
 def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
@@ -70,7 +71,7 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
 
     # FLOPs of the compiled program from XLA cost analysis (per step =
     # per dispatch / K). Not all backends expose it — None if absent.
-    flops = None
+    flops = bytes_accessed = None
     try:
         compiled = mstep.lower(state, batch, batch, key,
                                jnp.asarray(0.1)).compile()
@@ -79,6 +80,8 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
             ca = ca[0]
         if ca and "flops" in ca:
             flops = float(ca["flops"]) / scan_k
+        if ca and "bytes accessed" in ca:
+            bytes_accessed = float(ca["bytes accessed"]) / scan_k
     except Exception:
         pass
 
@@ -98,7 +101,7 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
         float(losses.sum())
         best = min(best, time.perf_counter() - t0)
 
-    return steps * scan_k * batch_size / best, flops
+    return steps * scan_k * batch_size / best, flops, bytes_accessed
 
 
 def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
@@ -158,9 +161,9 @@ def main() -> None:
                              "throughput, full-prefix and KV-cached")
     args = parser.parse_args()
 
-    sents_per_sec, flops = bench_batch(args.batch, args.scan_steps,
-                                       args.steps, args.reps, args.warmup,
-                                       args.dtype)
+    sents_per_sec, flops, hbm_bytes = bench_batch(
+        args.batch, args.scan_steps, args.steps, args.reps, args.warmup,
+        args.dtype)
     n_chips = max(jax.device_count(), 1)
     per_chip = sents_per_sec / n_chips
 
@@ -177,6 +180,13 @@ def main() -> None:
         achieved = flops * per_chip / args.batch  # FLOP/step * steps/sec
         out["flops_per_step"] = round(flops)
         out["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_PEAK_FLOPS, 4)
+    if hbm_bytes:
+        # XLA's modeled bytes accessed per step x steps/sec over the HBM
+        # peak — the honest "speed-of-light" axis for this HBM/dispatch-
+        # bound workload (the MXU is never the limiter at B=64)
+        bw = hbm_bytes * per_chip / args.batch
+        out["hbm_bytes_per_step"] = round(hbm_bytes)
+        out["hbm_util_vs_v5e_peak"] = round(bw / V5E_HBM_BYTES_PER_SEC, 4)
 
     if args.decode:
         out["decode_sents_per_sec"] = round(
@@ -189,8 +199,8 @@ def main() -> None:
     if args.scaling:
         rows = {}
         for b in (256, 1024):
-            sps, fl = bench_batch(b, max(4, args.scan_steps // (b // 64)),
-                                  2, 2, 1, args.dtype)
+            sps, fl, _ = bench_batch(b, max(4, args.scan_steps // (b // 64)),
+                                     2, 2, 1, args.dtype)
             row = {"sents_per_sec": round(sps / n_chips, 1)}
             if fl:
                 row["mfu"] = round(fl * (sps / n_chips) / b
