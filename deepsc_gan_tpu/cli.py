@@ -361,6 +361,64 @@ def cmd_evaluate(args) -> None:
         cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
 
 
+def cmd_transmit(args) -> None:
+    """Send user text through the full system: tokenize -> semantic+channel
+    encode -> noisy channel at --snr -> decode -> print the received
+    sentence (the end-to-end demo the reference never shipped — its
+    pipeline only ran inside training/eval loops)."""
+    import numpy as np
+
+    from deepsc_gan_tpu.data.preprocess import (
+        PUNCT_TO_KEEP,
+        PUNCT_TO_REMOVE,
+        normalize_string,
+        tokenize,
+    )
+    from deepsc_gan_tpu.data.vocab import SeqToText
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode
+    from deepsc_gan_tpu.evaluate.metrics import SNR_to_noise
+
+    cfg = config_from_args(args)
+    variant = args.variant
+    pm = _position_mode(variant)
+    model = make_model(cfg, variant)
+    init_kw = {"traingan": True} if variant == "gan" else {}
+    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
+                               **init_kw)
+    ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
+    if os.path.isdir(ckpt_dir):
+        try:
+            mgr = CheckpointManager(ckpt_dir)
+            state = mgr.restore(state)
+            print(f"[transmit] restored epoch {mgr.latest_epoch()}")
+        except FileNotFoundError:
+            print("[transmit] no checkpoint; using random init",
+                  file=sys.stderr)
+    vocab = _load_vocab(cfg)
+
+    texts = args.text if args.text else [l.strip() for l in sys.stdin
+                                         if l.strip()]
+    rows = []
+    for t in texts:
+        toks = tokenize(normalize_string(t), punct_to_keep=PUNCT_TO_KEEP,
+                        punct_to_remove=PUNCT_TO_REMOVE)
+        ids = vocab.encode(toks)[: cfg.seq_len]
+        rows.append(ids + [cfg.pad_idx] * (cfg.seq_len - len(ids)))
+    inp = np.asarray(rows, dtype=np.int32)
+
+    decode = make_greedy_decode(model, cfg, position_mode=pm)
+    out = decode(state.params, inp, jax.random.PRNGKey(args.seed),
+                 args.pnr_db, float(SNR_to_noise(args.snr)))
+    s2t = SeqToText(vocab, cfg.end_idx)
+    for t, row_in, row_out in zip(texts, inp, np.asarray(out)):
+        ids_out = [int(i) for i in row_out]
+        if ids_out and ids_out[0] == cfg.start_idx:
+            ids_out = ids_out[1:]
+        sent = s2t.sequence_to_text(ids_out)
+        print(f"tx[{args.snr:g}dB]> {t}")
+        print(f"rx[{args.snr:g}dB]> {sent}")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="deepsc_gan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -434,6 +492,20 @@ def main(argv=None) -> None:
                                 "over this many devices (must divide the "
                                 "SNR point count)")
 
+    tx = sub.add_parser(
+        "transmit",
+        help="send text through the trained transceiver at a chosen SNR "
+             "and print what the receiver decodes")
+    add_config_args(tx)
+    tx.add_argument("--variant", default="transformer",
+                    choices=["transformer", "star", "star_multi", "gan"])
+    tx.add_argument("--seed", type=int, default=0)
+    tx.add_argument("--snr", type=float, default=6.0)
+    tx.add_argument("--pnr-db", type=float, default=0.0)
+    tx.add_argument("--text", action="append",
+                    help="sentence to transmit (repeatable; default: read "
+                         "lines from stdin)")
+
     args = parser.parse_args(argv)
     if args.cmd == "preprocess":
         from deepsc_gan_tpu.data.preprocess import main as pp_main
@@ -459,6 +531,8 @@ def main(argv=None) -> None:
         print(f"wrote {args.out}")
     elif args.cmd == "train":
         cmd_train(args)
+    elif args.cmd == "transmit":
+        cmd_transmit(args)
     else:
         cmd_evaluate(args)
 

@@ -132,6 +132,21 @@ def test_cli_snr_parallel_greedy_eval(tmp_path):
                   "--snr-hi", "4", "--snr-parallel", "4"] + common)
 
 
+def test_cli_transmit(tmp_path, capsys):
+    """`transmit` runs text through tokenize -> channel -> decode and
+    prints a tx/rx pair per sentence."""
+    common = TINY + [
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", str(tmp_path / "log"),
+    ]
+    cli.main(["transmit", "--variant", "transformer", "--snr", "6",
+              "--text", "w4 w5 w6", "--text", "w7 w8"] + common)
+    out = capsys.readouterr().out
+    assert "tx[6dB]> w4 w5 w6" in out
+    assert out.count("rx[6dB]>") == 2
+
+
 def test_cli_beam_eval(tmp_path):
     log = str(tmp_path / "log")
     common = TINY + [
