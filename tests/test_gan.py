@@ -137,3 +137,28 @@ def test_merge_opt_state_handles_schedule_chain():
     np.testing.assert_array_equal(adam.mu["a"], s1[0].mu["a"])  # updated
     np.testing.assert_array_equal(adam.mu["b"], s0[0].mu["b"])  # frozen
     assert int(adam.count) == int(s1[0].count)
+
+
+def test_codec_warm_start_graft(tiny_cfg, gan_setup):
+    """scripts/gan_tables.graft_codec: plain-trained codec submodules drop
+    into a fresh GAN tree; the generator stays freshly initialized."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.gan_tables import CODEC_KEYS, graft_codec
+
+    _, gan_state = gan_setup
+    plain_model = make_model(tiny_cfg, "transformer")
+    plain_state = create_train_state(plain_model, tiny_cfg,
+                                     jax.random.PRNGKey(7),
+                                     batch_size=tiny_cfg.bs)
+    grafted = graft_codec(gan_state.params, plain_state.params)
+    for k in CODEC_KEYS:
+        ok = jax.tree.all(jax.tree.map(
+            lambda a, b: jnp.array_equal(a, b),
+            grafted[k], plain_state.params[k]))
+        assert ok, k
+    # generator untouched by the graft
+    ok = jax.tree.all(jax.tree.map(
+        lambda a, b: jnp.array_equal(a, b),
+        grafted["generator"], gan_state.params["generator"]))
+    assert ok
