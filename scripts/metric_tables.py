@@ -8,7 +8,10 @@
   2. Two-metric greedy sweep (--metric both: BLEU-1 + sentence
      similarity, reference utlis/tools.py:30-103 scores them side by
      side) -> results/test-DeepSC-ours-both.pkl, rows
-     [snr, bleu, similarity].
+     [snr, bleu, similarity];
+  3. BLEU-1..4 greedy curves (BASELINE.md names BLEU-1-4 parity; the
+     reference's BleuScore takes per-n-gram weights, tools.py:30-43)
+     -> results/test-DeepSC-ours-bleu{n}.pkl for n in 1..4.
 
 Run ONE process at a time on the TPU.
 """
@@ -92,6 +95,16 @@ def main():
     for snr, *ms in both:
         print(f"BOTH SNR={snr:2.0f} " +
               " ".join(f"{m:.4f}" for m in ms), flush=True)
+
+    for n in range(1, 5):
+        weights = tuple(1.0 if i == n - 1 else 0.0 for i in range(4))
+        t = snr_sweep_bleu_fast(sweep_fn, state.params, batches, vocab,
+                                cfg, snrs=snrs, key=jax.random.PRNGKey(999),
+                                bleu_weights=weights)
+        save_result_table(t, os.path.join(
+            args.out_dir, f"test-DeepSC-ours-bleu{n}.pkl"))
+        print(f"BLEU-{n}: " + " ".join(f"{b:.3f}" for _, b in t),
+              flush=True)
 
 
 if __name__ == "__main__":
