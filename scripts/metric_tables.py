@@ -58,6 +58,11 @@ def main():
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--eval-batches", type=int, default=0)
     ap.add_argument("--snr-stride", type=int, default=1)
+    ap.add_argument("--beam", type=int, default=0,
+                    help="also run a beam-N sweep -> "
+                         "test-DeepSC-ours-beam.pkl (0 = skip)")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="skip the PGD/both/bleu1-4 sections (beam only)")
     args = ap.parse_args()
 
     cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **LEVERS)
@@ -75,6 +80,20 @@ def main():
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
     state = state.replace(params=jax.tree.map(jnp.asarray, plain))
+
+    if args.beam:
+        from deepsc_gan_tpu.evaluate.beam import make_beam_decode
+        from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu
+
+        decode = make_beam_decode(model, cfg, beam_size=args.beam)
+        t = snr_sweep_bleu(decode, state.params, batches, vocab, cfg,
+                           snrs=snrs, key=jax.random.PRNGKey(999))
+        save_result_table(t, os.path.join(args.out_dir,
+                                          "test-DeepSC-ours-beam.pkl"))
+        print(f"BEAM-{args.beam}: " + " ".join(f"{b:.3f}" for _, b in t),
+              flush=True)
+    if args.skip_base:
+        return
 
     pgd_step = make_eval_step_pgd(model, cfg)
     table = teacher_forced_sweep(pgd_step, state, batches, vocab, cfg,
