@@ -458,7 +458,7 @@ def main(argv=None) -> None:
             p.add_argument("--adv-weight", type=float, default=1.0,
                            help="attack mode: w*adv + (1-w)*clean loss")
             p.add_argument("--log-every", type=int, default=10)
-            p.add_argument("--scan-steps", type=int, default=16,
+            p.add_argument("--scan-steps", type=int, default=32,
                            help="plain mode: train steps fused per dispatch "
                                 "via lax.scan (1 = single-step dispatch)")
             p.add_argument("--distributed", action="store_true",
