@@ -147,6 +147,49 @@ def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
     return batch_size * snr_points / best
 
 
+def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
+               warmup: int, dtype: str, mode: str):
+    """Star-variant (SE/SD) training throughput with the satellite-update
+    kernel pinned to `mode` ("pallas" or "xla") — measures what the fused
+    Pallas kernel is actually worth on hardware."""
+    from deepsc_gan_tpu.data.loader import synthetic_dataset
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mode
+    from deepsc_gan_tpu.train.steps import (
+        create_train_state,
+        make_train_multi_step,
+    )
+    from deepsc_gan_tpu.utils.config import Config
+
+    set_star_kernel_mode(mode)
+    try:
+        cfg = Config(bs=batch_size, dtype=dtype)
+        model = make_model(cfg, "star")
+        key = jax.random.PRNGKey(0)
+        state = create_train_state(model, cfg, key)
+        mstep = make_train_multi_step(model, cfg, donate=False,
+                                      full_target=True)
+        ds = synthetic_dataset(n=batch_size * scan_k, seq_len=cfg.seq_len,
+                               vocab_size=cfg.vocab_size,
+                               batch_size=batch_size, seed=0)
+        batch = jnp.asarray(np.stack([b for b, _ in ds], axis=0))
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, losses = mstep(state, batch, batch, sub, 0.1)
+        float(losses.sum())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                key, sub = jax.random.split(key)
+                state, losses = mstep(state, batch, batch, sub, 0.1)
+            float(losses.sum())
+            best = min(best, time.perf_counter() - t0)
+        return steps * scan_k * batch_size / best
+    finally:
+        set_star_kernel_mode("auto")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=4,
@@ -161,6 +204,9 @@ def main() -> None:
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--scaling", action="store_true",
                         help="also measure B=256/1024 rows (extra compiles)")
+    parser.add_argument("--star", action="store_true",
+                        help="also A/B the star-satellite Pallas kernel "
+                             "vs plain XLA on star-variant training")
     parser.add_argument("--decode", action="store_true",
                         help="also measure greedy-decode (serving) "
                              "throughput, full-prefix and KV-cached")
@@ -197,6 +243,16 @@ def main() -> None:
         out["hbm_bytes_modeled_per_step"] = round(hbm_bytes)
         out["unfused_hbm_roofline_ms"] = round(roofline_ms, 3)
         out["vs_unfused_roofline"] = round(roofline_ms / step_ms, 3)
+
+    if args.star:
+        modes = {}
+        for mode in ("pallas", "xla"):
+            modes[mode] = round(bench_star(
+                args.batch, args.scan_steps, args.steps, args.reps,
+                args.warmup, args.dtype, mode) / n_chips, 1)
+        out["star_train_sents_per_sec"] = modes
+        out["star_pallas_speedup"] = round(modes["pallas"] / modes["xla"],
+                                           3)
 
     if args.decode:
         out["decode_sents_per_sec"] = round(
