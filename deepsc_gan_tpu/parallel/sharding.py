@@ -38,6 +38,31 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def shard_batch_global(local_batch, mesh: Mesh, axis: str = "dp"):
+    """Multi-host variant of shard_batch: each process passes its LOCAL
+    slice of the batch (global batch = concatenation over process index);
+    returns a global array sharded over `axis`. device_put cannot place
+    shards on non-addressable devices, so multi-controller runs go through
+    jax.make_array_from_process_local_data. Works single-process too."""
+    global_shape = (local_batch.shape[0] * jax.process_count(),
+                    *local_batch.shape[1:])
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)), local_batch, global_shape)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Multi-host variant of replicate: every process passes an IDENTICAL
+    host pytree (e.g. params from the same PRNG seed) and gets back
+    globally-replicated arrays."""
+    import numpy as np
+
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x), np.shape(x)),
+        tree)
+
+
 def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
                              channel_kind: Optional[str] = None,
                              full_target: bool = False,

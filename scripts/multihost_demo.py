@@ -1,0 +1,145 @@
+"""Two-controller (multi-host) data-parallel training demo on CPU.
+
+Launches itself as 2 processes, each with 4 virtual CPU devices; both
+join one jax.distributed cluster (Gloo collectives over localhost — the
+same multi-controller code path a TPU pod uses over DCN, SURVEY.md §5.8)
+and run the framework's OWN dp train step (`make_parallel_train_step`)
+over the global 8-device mesh: params replicated via `replicate_global`,
+each process feeding its local half of the batch via
+`shard_batch_global`, XLA inserting the cross-process gradient
+all-reduce. The parent then re-runs the identical workload
+single-process on 8 local devices and asserts the per-step losses match
+— multi-controller execution is bit-equivalent to single-controller
+GSPMD.
+
+Usage: python scripts/multihost_demo.py [--steps 3] [--port 29417]
+(the `worker` subcommand is internal).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, REPO)
+
+N_PROC = 2
+LOCAL_DEV = 4
+
+
+def _pin_cpu(n_devices: int) -> None:
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{n_devices}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _losses(steps: int, seed: int = 0):
+    """Run `steps` dp train steps on the current (global) device set and
+    return the per-step losses. Identical program in both topologies."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.parallel.mesh import make_mesh
+    from deepsc_gan_tpu.parallel.sharding import (
+        make_parallel_train_step,
+        replicate_global,
+        shard_batch_global,
+    )
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import Config
+
+    n = N_PROC * LOCAL_DEV
+    cfg = Config(vocab_size=64, bs=2 * n, seq_len=12, max_length=11,
+                 encoder_num_layer=1, decoder_num_layer=1,
+                 encoder_d_model=16, decoder_d_model=16,
+                 encoder_d_ff=32, decoder_d_ff=32,
+                 encoder_num_heads=2, decoder_num_heads=2,
+                 channel_hidden=16, channel_dim=8, channel_dec_hidden=16,
+                 dtype="float32")
+    mesh = make_mesh(dp=n, snr=1)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(seed))
+    state = state.replace(
+        params=replicate_global(jax.device_get(state.params), mesh),
+        opt_state=jax.tree.map(
+            lambda x: replicate_global(jax.device_get(x), mesh)
+            if hasattr(x, "shape") else x, state.opt_state,
+            is_leaf=lambda x: hasattr(x, "shape")))
+
+    step = make_parallel_train_step(model, cfg, mesh)
+    rng = np.random.default_rng(7)
+    batches = rng.integers(0, cfg.vocab_size,
+                           size=(steps, cfg.bs, cfg.seq_len)).astype("int32")
+    # each process contributes its contiguous slice of the global batch
+    pid, npr = jax.process_index(), jax.process_count()
+    per = cfg.bs // npr
+    losses = []
+    for i in range(steps):
+        local = batches[i, pid * per : (pid + 1) * per]
+        b = shard_batch_global(local, mesh)
+        state, loss = step(state, b, b,
+                           replicate_global(
+                               np.asarray(jax.random.PRNGKey(100 + i)),
+                               mesh),
+                           replicate_global(np.float32(0.1), mesh))
+        losses.append(float(loss))
+    return losses
+
+
+def worker(pid: int, port: int, steps: int) -> None:
+    _pin_cpu(LOCAL_DEV)
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=N_PROC, process_id=pid)
+    assert jax.process_count() == N_PROC
+    assert len(jax.devices()) == N_PROC * LOCAL_DEV
+    losses = _losses(steps)
+    if pid == 0:
+        print("MULTI " + " ".join(f"{l:.6f}" for l in losses), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", nargs="?", default="demo",
+                    choices=["demo", "worker"])
+    ap.add_argument("pid", nargs="?", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--port", type=int, default=29417)
+    args = ap.parse_args()
+
+    if args.cmd == "worker":
+        worker(args.pid, args.port, args.steps)
+        return
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "worker", str(pid),
+         "--steps", str(args.steps), "--port", str(args.port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO) for pid in range(N_PROC)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    multi = next(l for l in outs[0].splitlines() if l.startswith("MULTI "))
+    multi_losses = [float(x) for x in multi.split()[1:]]
+    print(f"2-process dp losses: {multi_losses}")
+
+    # reference: same workload, single process, 8 local devices
+    _pin_cpu(N_PROC * LOCAL_DEV)
+    single = _losses(args.steps)
+    print(f"1-process dp losses: {single}")
+    assert all(abs(a - b) < 1e-5 for a, b in zip(multi_losses, single)), (
+        multi_losses, single)
+    print("OK: multi-controller == single-controller")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""Two-controller jax.distributed demo: the framework's dp train step over
+a 2-process × 4-device CPU cluster must match single-process GSPMD
+bit-for-bit (scripts/multihost_demo.py)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_two_process_dp_matches_single_process():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "multihost_demo.py"),
+         "--steps", "2", "--port", "29431"],
+        capture_output=True, text=True, timeout=360,
+        cwd=REPO, env={**os.environ, "JAX_PLATFORMS": ""})
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK: multi-controller == single-controller" in out.stdout
