@@ -46,7 +46,8 @@ V5E_HBM_BYTES_PER_SEC = 819e9  # per chip
 
 def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
                 warmup: int, dtype: str):
-    """-> (sents_per_sec, flops_per_step or None) at one batch size."""
+    """-> (sents_per_sec, flops_per_step, bytes_per_step); the
+    cost-analysis fields are None if the backend does not expose them."""
     from deepsc_gan_tpu.data.loader import synthetic_dataset
     from deepsc_gan_tpu.models.transceiver import make_model
     from deepsc_gan_tpu.train.steps import (
@@ -69,8 +70,6 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
                            batch_size=batch_size, seed=0)
     batch = jnp.asarray(np.stack([b for b, _ in ds], axis=0))  # (K, B, L)
 
-    # FLOPs of the compiled program from XLA cost analysis (per step =
-    # per dispatch / K). Not all backends expose it — None if absent.
     # XLA cost analysis counts a lax.scan BODY once, independent of the
     # trip count (verified: the reported totals are invariant to K) — so
     # the program's "flops"/"bytes accessed" ARE the per-step costs.
@@ -88,7 +87,7 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
     except Exception:
         pass
 
-    for _ in range(warmup):
+    for _ in range(max(1, warmup)):  # >=1: binds `losses` for the sync
         key, sub = jax.random.split(key)
         state, losses = mstep(state, batch, batch, sub, 0.1)
     float(losses.sum())  # true sync (device->host readback)
@@ -134,7 +133,7 @@ def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
                              jnp.int32)
     n_stds = jnp.linspace(0.11, 1.0, snr_points)
     key = jax.random.PRNGKey(2)
-    for _ in range(warmup):
+    for _ in range(max(1, warmup)):  # >=1: binds `ids` for the sync
         ids = sweep(state.params, inp, key, 0.0, n_stds)
     int(np.asarray(ids[0, 0, 0]))  # sync
 
@@ -173,7 +172,7 @@ def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
                                vocab_size=cfg.vocab_size,
                                batch_size=batch_size, seed=0)
         batch = jnp.asarray(np.stack([b for b, _ in ds], axis=0))
-        for _ in range(warmup):
+        for _ in range(max(1, warmup)):  # >=1: binds `losses`
             key, sub = jax.random.split(key)
             state, losses = mstep(state, batch, batch, sub, 0.1)
         float(losses.sum())

@@ -254,6 +254,23 @@ def cmd_train(args) -> None:
     print(f"[train] done: {step_i} steps")
 
 
+def _restore_latest(cfg: Config, variant: str, state, tag: str):
+    """Restore the latest checkpoint for `variant` if one exists; warn and
+    keep the random init otherwise."""
+    ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
+    if os.path.isdir(ckpt_dir):
+        try:
+            mgr = CheckpointManager(ckpt_dir)
+            state = mgr.restore(state)
+            print(f"[{tag}] restored epoch {mgr.latest_epoch()}")
+            return state
+        except FileNotFoundError:
+            pass
+    print(f"[{tag}] no checkpoint found; using random init",
+          file=sys.stderr)
+    return state
+
+
 def cmd_evaluate(args) -> None:
     cfg = config_from_args(args)
     variant = args.variant
@@ -264,15 +281,7 @@ def cmd_evaluate(args) -> None:
     model = make_model(cfg, variant)
     init_kw = {"traingan": True} if variant == "gan" else {}
     state = create_train_state(model, cfg, key, **init_kw)
-    ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
-    if os.path.isdir(ckpt_dir):
-        try:
-            mgr = CheckpointManager(ckpt_dir)
-            state = mgr.restore(state)
-            print(f"[eval] restored epoch {mgr.latest_epoch()}")
-        except FileNotFoundError:
-            print("[eval] no checkpoint found; evaluating random init",
-                  file=sys.stderr)
+    state = _restore_latest(cfg, variant, state, tag="eval")
 
     vocab = _load_vocab(cfg)
     test_ds = _load_dataset(cfg, cfg.test_save_path, shuffle=False)
@@ -283,6 +292,10 @@ def cmd_evaluate(args) -> None:
         # all SNR points in one device call per batch
         from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
         from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+        if args.snr_parallel > 1 and args.kv_cache:
+            raise SystemExit("--kv-cache and --snr-parallel are mutually "
+                             "exclusive (the mesh-sharded sweep uses the "
+                             "full-prefix decoder)")
         if args.snr_parallel > 1:
             # shard the SNR axis of the sweep over a device mesh — each
             # device (group) decodes its own points of the BLEU-vs-SNR
@@ -385,19 +398,14 @@ def cmd_transmit(args) -> None:
     init_kw = {"traingan": True} if variant == "gan" else {}
     state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
                                **init_kw)
-    ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
-    if os.path.isdir(ckpt_dir):
-        try:
-            mgr = CheckpointManager(ckpt_dir)
-            state = mgr.restore(state)
-            print(f"[transmit] restored epoch {mgr.latest_epoch()}")
-        except FileNotFoundError:
-            print("[transmit] no checkpoint; using random init",
-                  file=sys.stderr)
+    state = _restore_latest(cfg, variant, state, tag="transmit")
     vocab = _load_vocab(cfg)
 
     texts = args.text if args.text else [l.strip() for l in sys.stdin
                                          if l.strip()]
+    if not texts:
+        raise SystemExit("transmit: no input sentences (pass --text or "
+                         "pipe non-empty lines on stdin)")
     rows = []
     for t in texts:
         toks = tokenize(normalize_string(t), punct_to_keep=PUNCT_TO_KEEP,

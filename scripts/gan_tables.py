@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepsc_gan_tpu.data.augment import make_train_dataset
-from deepsc_gan_tpu.data.loader import pad_sequences
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import (
     save_result_table,
@@ -48,7 +47,12 @@ from deepsc_gan_tpu.train.gan_steps import (
 )
 from deepsc_gan_tpu.train.steps import create_train_state
 from deepsc_gan_tpu.utils.config import Config
-from scripts.parity_sweep import REF_DATA, REF_VOCAB, split_data
+from scripts.parity_sweep import (
+    REF_DATA,
+    REF_VOCAB,
+    held_out_batches,
+    split_data,
+)
 from scripts.robust_tables import LEVERS, plain_train
 
 jax.config.update("jax_compilation_cache_dir",
@@ -93,9 +97,7 @@ def main():
     if args.limit_train:
         train_raw = train_raw[: args.limit_train]
     vocab = Vocab.load(REF_VOCAB)
-    held_pad = pad_sequences(held, maxlen=cfg.seq_len)
-    held_batches = [held_pad[i : i + cfg.bs]
-                    for i in range(0, len(held_pad) - cfg.bs + 1, cfg.bs)]
+    held_batches = held_out_batches(held, cfg)
 
     if os.path.exists(args.plain_params):
         with open(args.plain_params, "rb") as f:
@@ -126,7 +128,9 @@ def main():
             key, sub = jax.random.split(key)
             b = jnp.asarray(batch)
             state, (loss, g_loss, d_loss) = gstep(state, b, b, sub, n_std)
-        if epoch % args.eval_every:
+        # probe on the schedule AND at the final epoch, so trailing epochs
+        # are never silently excluded from keep-best selection
+        if epoch % args.eval_every and epoch != args.gan_epochs:
             continue
         probe = teacher_forced_sweep(estep, state, held_batches[:4], vocab,
                                      cfg, snrs=probe_snrs,

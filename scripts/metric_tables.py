@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from deepsc_gan_tpu.data.loader import pad_sequences
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import (
     save_result_table,
@@ -42,7 +41,12 @@ from deepsc_gan_tpu.train.steps import (
     make_eval_step_pgd,
 )
 from deepsc_gan_tpu.utils.config import Config
-from scripts.parity_sweep import REF_DATA, REF_VOCAB, split_data
+from scripts.parity_sweep import (
+    REF_DATA,
+    REF_VOCAB,
+    held_out_batches,
+    split_data,
+)
 from scripts.robust_tables import LEVERS
 
 jax.config.update("jax_compilation_cache_dir",
@@ -68,11 +72,7 @@ def main():
     cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **LEVERS)
     _, held = split_data(REF_DATA, seed=0)
     vocab = Vocab.load(REF_VOCAB)
-    held_pad = pad_sequences(held, maxlen=cfg.seq_len)
-    batches = [held_pad[i : i + cfg.bs]
-               for i in range(0, len(held_pad) - cfg.bs + 1, cfg.bs)]
-    if args.eval_batches:
-        batches = batches[: args.eval_batches]
+    batches = held_out_batches(held, cfg, limit=args.eval_batches)
     snrs = list(range(0, 19, args.snr_stride))
 
     with open(args.plain_params, "rb") as f:

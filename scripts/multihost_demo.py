@@ -126,7 +126,12 @@ def main() -> None:
          "--steps", str(args.steps), "--port", str(args.port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO) for pid in range(N_PROC)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=150)[0] for p in procs]
+    finally:
+        for p in procs:  # never orphan a worker holding the Gloo port
+            if p.poll() is None:
+                p.kill()
     assert all(p.returncode == 0 for p in procs), outs
     multi = next(l for l in outs[0].splitlines() if l.startswith("MULTI "))
     multi_losses = [float(x) for x in multi.split()[1:]]

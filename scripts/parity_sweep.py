@@ -99,6 +99,18 @@ def split_data(path: str, seed: int = 0):
     return train, held
 
 
+def held_out_batches(held, cfg, limit: int = 0):
+    """Pad the held-out sentences to cfg.seq_len and slice full batches
+    (tail remainder dropped, matching the loader's drop-remainder
+    protocol). Shared by every measurement script."""
+    from deepsc_gan_tpu.data.loader import pad_sequences
+
+    padded = pad_sequences(held, maxlen=cfg.seq_len)
+    batches = [padded[i : i + cfg.bs]
+               for i in range(0, len(padded) - cfg.bs + 1, cfg.bs)]
+    return batches[:limit] if limit else batches
+
+
 def run_config(name: str, cfg: Config, train_raw, held_batches, vocab,
                args, out_f):
     model = make_model(cfg, "transformer")

@@ -22,12 +22,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-from deepsc_gan_tpu.data.loader import pad_sequences
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
 from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
 from deepsc_gan_tpu.utils.config import Config
-from scripts.parity_sweep import REF_DATA, REF_VOCAB, split_data
+from scripts.parity_sweep import (
+    REF_DATA,
+    REF_VOCAB,
+    held_out_batches,
+    split_data,
+)
 from scripts.robust_tables import LEVERS, plain_train
 
 jax.config.update("jax_compilation_cache_dir",
@@ -50,11 +54,7 @@ def main():
     cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **LEVERS)
     train_raw, held = split_data(REF_DATA, seed=0)
     vocab = Vocab.load(REF_VOCAB)
-    held_pad = pad_sequences(held, maxlen=cfg.seq_len)
-    held_batches = [held_pad[i : i + cfg.bs]
-                    for i in range(0, len(held_pad) - cfg.bs + 1, cfg.bs)]
-    if args.eval_batches:
-        held_batches = held_batches[: args.eval_batches]
+    held_batches = held_out_batches(held, cfg, limit=args.eval_batches)
     snrs = [0, 3, 6, 9, 12, 15, 18]
 
     out = {}
