@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepsc_gan_tpu.data.augment import make_train_dataset
-from deepsc_gan_tpu.data.loader import pad_sequences, stacked_batches
+from deepsc_gan_tpu.data.loader import stacked_batches
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import (
     save_result_table,
@@ -46,7 +46,12 @@ from deepsc_gan_tpu.models.channel import snr_to_noise
 from deepsc_gan_tpu.models.transceiver import make_model
 from deepsc_gan_tpu.train.steps import create_train_state, make_train_multi_step
 from deepsc_gan_tpu.utils.config import Config
-from scripts.parity_sweep import REF_DATA, REF_VOCAB, split_data
+from scripts.parity_sweep import (
+    REF_DATA,
+    REF_VOCAB,
+    held_out_batches,
+    split_data,
+)
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp"))
@@ -136,10 +141,7 @@ def main():
     for channel in args.channels.split(","):
         cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2,
                      channel=channel, **levers)
-        held_pad = pad_sequences(held, maxlen=cfg.seq_len)
-        held_batches = [held_pad[i : i + cfg.bs]
-                        for i in range(0, len(held_pad) - cfg.bs + 1,
-                                       cfg.bs)]
+        held_batches = held_out_batches(held, cfg)
         print(f"=== {channel}: training {args.epochs} epochs", flush=True)
         model, state = train(cfg, train_raw, held_batches, vocab,
                              args.epochs, args.k, args.seed)

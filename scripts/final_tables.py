@@ -23,7 +23,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
-from deepsc_gan_tpu.data.loader import pad_sequences
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import (
     save_result_table,
@@ -34,7 +33,13 @@ from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
 from deepsc_gan_tpu.models.transceiver import make_model
 from deepsc_gan_tpu.train.steps import create_train_state, make_eval_step
 from deepsc_gan_tpu.utils.config import Config
-from scripts.parity_sweep import GRID, REF_DATA, REF_VOCAB, split_data
+from scripts.parity_sweep import (
+    GRID,
+    REF_DATA,
+    REF_VOCAB,
+    held_out_batches,
+    split_data,
+)
 
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp"))
@@ -67,9 +72,7 @@ def main():
 
     _, held = split_data(REF_DATA, seed=0)
     vocab = Vocab.load(REF_VOCAB)
-    held_pad = pad_sequences(held, maxlen=cfg.seq_len)
-    batches = [held_pad[i : i + cfg.bs]
-               for i in range(0, len(held_pad) - cfg.bs + 1, cfg.bs)]
+    batches = held_out_batches(held, cfg)
     snrs = list(range(0, 19))
 
     sweep_fn = make_greedy_decode_sweep(model, cfg)
