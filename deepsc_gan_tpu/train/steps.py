@@ -32,14 +32,31 @@ class TrainState(struct.PyTreeNode):
     params: dict
     opt_state: optax.OptState
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # exponential moving average of params (None = disabled). A pytree
+    # field so it rides through jit/scan carries untouched.
+    ema_params: Optional[dict] = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        ema = self.ema_params
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               ema, new_params)
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt,
+            ema_params=ema,
         )
+
+
+def eval_params(state: TrainState):
+    """The parameter tree evaluation should use: the EMA shadow when
+    enabled, else the live params."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def create_train_state(model, cfg: Config, key,
@@ -67,8 +84,13 @@ def create_train_state(model, cfg: Config, key,
     tx = tx or make_optimizer(cfg.lr, cfg.schedule, cfg.encoder_d_model,
                               cfg.warmup_steps, cfg.decay_steps)
     params = variables["params"]
+    # jnp.copy, NOT identity: the shadow must be distinct buffers or
+    # donated executions see the same buffer twice (f(donate(a), donate(a)))
+    ema = (jax.tree.map(jnp.copy, params)
+           if cfg.ema_decay > 0.0 else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params), tx=tx)
+                      opt_state=tx.init(params), tx=tx,
+                      ema_params=ema, ema_decay=cfg.ema_decay)
 
 
 def _shift_targets(tar):

@@ -100,6 +100,10 @@ class Config:
     # reference's one-scalar-per-call fade, 64x more realizations/step;
     # keep False for reference-protocol evals — models/channel.py:fading)
     fading_per_sample: bool = False
+    # exponential moving average of params (0 = off). When on, TrainState
+    # carries ema_params updated each step; evaluate with those
+    # (train/steps.py:eval_params) — a standard low-SNR quality lever
+    ema_decay: float = 0.0
 
     # --- schedule (reference: modules.py:719-735; the committed notebooks
     #     used plain Adam(lr) per parameters.py:22 — "noam" optional)

@@ -46,6 +46,7 @@ from deepsc_gan_tpu.models.channel import snr_to_noise
 from deepsc_gan_tpu.models.transceiver import make_model
 from deepsc_gan_tpu.train.steps import (
     create_train_state,
+    eval_params,
     make_eval_step,
     make_train_attack_step,
     make_train_multi_step,
@@ -86,15 +87,16 @@ def plain_train(cfg, train_raw, held_batches, vocab, epochs, k, seed,
             state, losses = multi(state, b, b, sub, n_std)
         if epoch % eval_every:
             continue
-        table = snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
-                                    vocab, cfg, snrs=snrs,
+        table = snr_sweep_bleu_fast(sweep_fn, eval_params(state),
+                                    held_batches, vocab, cfg, snrs=snrs,
                                     key=jax.random.PRNGKey(999))
         mean_bleu = float(np.mean([r[1] for r in table]))
         print(f"[plain] ep{epoch} loss={float(losses[-1]):.3f} "
               f"mean={mean_bleu:.4f}", flush=True)
         if mean_bleu > best[0]:
             best = (mean_bleu,
-                    jax.tree.map(lambda x: np.asarray(x), state.params),
+                    jax.tree.map(lambda x: np.asarray(x),
+                                 eval_params(state)),
                     epoch)
             stale = 0
         else:

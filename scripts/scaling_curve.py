@@ -49,9 +49,12 @@ def main():
     ap.add_argument("--out", default="results/scaling_curve.json")
     ap.add_argument("--eval-batches", type=int, default=0,
                     help="cap held-out batches (smoke runs; 0=all)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA-of-params lever (eval uses the shadow)")
     args = ap.parse_args()
 
-    cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **LEVERS)
+    cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2,
+                 ema_decay=args.ema_decay, **LEVERS)
     train_raw, held = split_data(REF_DATA, seed=0)
     vocab = Vocab.load(REF_VOCAB)
     held_batches = held_out_batches(held, cfg, limit=args.eval_batches)

@@ -145,3 +145,52 @@ def test_train_step_fading_channels(tiny_cfg, tiny_batch):
         state, loss = step(state, tiny_batch, tiny_batch,
                            jax.random.PRNGKey(1), 0.3)
         assert np.isfinite(float(loss)), kind
+
+
+def test_ema_params_track_and_scan(tiny_cfg, tiny_batch):
+    """cfg.ema_decay > 0: TrainState carries an EMA shadow updated as
+    d*ema + (1-d)*params each step — including through the multi-step
+    scan — and eval_params() selects it."""
+    import numpy as np
+
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import (
+        create_train_state,
+        eval_params,
+        make_train_multi_step,
+        make_train_step,
+    )
+
+    cfg = tiny_cfg.replace(ema_decay=0.5, lr=2e-3)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=tiny_cfg.bs)
+    assert state.ema_params is not None
+    step = make_train_step(model, cfg)
+    s1, _ = step(state, tiny_batch, tiny_batch, jax.random.PRNGKey(1), 0.1)
+    # manual EMA from (initial params, updated params)
+    want = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p,
+                        state.params, s1.params)
+    got = eval_params(s1)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # EMA lags behind the live params (differs after an update)
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree.leaves(s1.params), jax.tree.leaves(got))]
+    assert max(diffs) > 0
+
+    # multi-step scan carries and updates the shadow (K sequential steps
+    # == K single steps, EMA included)
+    multi = make_train_multi_step(model, cfg, donate=False)
+    batch2 = jnp.stack([tiny_batch, tiny_batch], axis=0)
+    sm, _ = multi(state, batch2, batch2, jax.random.PRNGKey(1), 0.1)
+    assert sm.ema_params is not None
+    assert int(sm.step) == 2
+
+    # ema_decay=0 keeps the old behavior: no shadow
+    cfg0 = tiny_cfg
+    s0 = create_train_state(make_model(cfg0, "transformer"), cfg0,
+                            jax.random.PRNGKey(0), batch_size=tiny_cfg.bs)
+    assert s0.ema_params is None
+    assert eval_params(s0) is s0.params
