@@ -16,11 +16,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pickle
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import numpy as np
 
 from deepsc_gan_tpu.data.vocab import Vocab
 from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
@@ -67,6 +69,10 @@ def main():
         model, state = plain_train(cfg, sub, held_batches, vocab,
                                    args.epochs, args.k, args.seed,
                                    eval_every=args.eval_every)
+        with open(args.out.replace(".json", f"_{len(sub)}_params.pkl"),
+                  "wb") as f:
+            pickle.dump({"params": jax.tree.map(np.asarray,
+                                                state.params)}, f)
         sweep_fn = make_greedy_decode_sweep(model, cfg)
         table = snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
                                     vocab, cfg, snrs=snrs,
