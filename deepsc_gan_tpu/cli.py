@@ -332,7 +332,8 @@ def cmd_evaluate(args) -> None:
         decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
         extra = ()
     elif args.eval_mode == "greedy_attack":
-        decode = make_greedy_decode_attack(model, cfg, position_mode=pm)
+        decode = make_greedy_decode_attack(model, cfg, position_mode=pm,
+                                           full_target=star)
         extra = (args.epsilon,)
     elif args.eval_mode == "greedy_gan":
         decode = make_greedy_decode_gan(model, cfg, position_mode=pm)

@@ -141,11 +141,15 @@ def make_greedy_decode_sweep(model, cfg: Config,
 
 def make_greedy_decode_attack(model, cfg: Config,
                               channel_kind: Optional[str] = None,
-                              position_mode: str = "step") -> Callable:
+                              position_mode: str = "step",
+                              full_target: bool = False) -> Callable:
     """FGM-attacked greedy decode (reference `greedy_decode`,
     eval.py:11-75): teacher-forced forward on the input itself, gradient
     w.r.t. the received y, FGM perturbation injected into the decode-time
-    channel. Returns jitted
+    channel. `full_target=True` scores the attack-gradient loss against
+    the UN-shifted input — required for star decoders, whose output
+    length equals the memory length (eval_step_star semantics,
+    eval.py:334). Returns jitted
     `decode(params, inp, key, pnr_db, n_std, epsilon) -> ids`."""
     kind = channel_kind or cfg.channel
     from deepsc_gan_tpu.train.steps import _loss_kwargs
@@ -156,7 +160,7 @@ def make_greedy_decode_attack(model, cfg: Config,
         k_grad, k_ch = jax.random.split(key)
         enc_padding_mask = create_padding_mask(inp, cfg.pad_idx)
         tar_inp = inp[:, :-1]
-        tar_real = inp[:, 1:]
+        tar_real = inp if full_target else inp[:, 1:]
         _, combined_mask, dec_mask = create_masks(inp, tar_inp, cfg.pad_idx)
 
         tx = model.apply({"params": params}, inp, enc_padding_mask,
