@@ -428,6 +428,47 @@ def cmd_transmit(args) -> None:
         print(f"rx[{args.snr:g}dB]> {sent}")
 
 
+def cmd_export(args) -> None:
+    """Serialize the greedy-decode SNR sweep as a self-contained StableHLO
+    artifact (jax.export): weights baked in as constants, callable from
+    any JAX (or StableHLO-consuming) runtime without this package —
+    `export.deserialize(blob).call(inp, seed, pnr_db, n_stds)`. The
+    deployment story the reference (a notebook codebase) never had."""
+    from jax import export as jexport
+
+    cfg = config_from_args(args)
+    variant = args.variant
+    pm = _position_mode(variant)
+    model = make_model(cfg, variant)
+    init_kw = {"traingan": True} if variant == "gan" else {}
+    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
+                               **init_kw)
+    state = _restore_latest(cfg, variant, state, tag="export")
+
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+    sweep = make_greedy_decode_sweep(model, cfg, position_mode=pm)
+    params = state.params
+
+    def serve(inp, seed, pnr_db, n_stds):
+        return sweep(params, inp, jax.random.PRNGKey(seed), pnr_db, n_stds)
+
+    import jax.numpy as jnp
+    ex_inp = jnp.zeros((cfg.bs, cfg.seq_len), jnp.int32)
+    ex_seed = jnp.zeros((), jnp.int32)
+    ex_pnr = jnp.zeros((), jnp.float32)
+    ex_nstd = jnp.ones((args.snr_points,), jnp.float32)
+    exp = jexport.export(jax.jit(serve))(ex_inp, ex_seed, ex_pnr, ex_nstd)
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"[export] {args.out}: {len(blob) / 1e6:.1f} MB, "
+          f"{n_params:,} params baked in, "
+          f"signature (inp[{cfg.bs},{cfg.seq_len}] i32, seed i32, "
+          f"pnr_db f32, n_stds[{args.snr_points}] f32) -> ids")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="deepsc_gan_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -515,6 +556,17 @@ def main(argv=None) -> None:
                     help="sentence to transmit (repeatable; default: read "
                          "lines from stdin)")
 
+    ex = sub.add_parser(
+        "export",
+        help="serialize the greedy-decode sweep (weights baked in) as a "
+             "self-contained StableHLO artifact via jax.export")
+    add_config_args(ex)
+    ex.add_argument("--variant", default="transformer",
+                    choices=["transformer", "star", "star_multi", "gan"])
+    ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--snr-points", type=int, default=19)
+    ex.add_argument("--out", default="model_decode.stablehlo")
+
     args = parser.parse_args(argv)
     if args.cmd == "preprocess":
         from deepsc_gan_tpu.data.preprocess import main as pp_main
@@ -542,6 +594,8 @@ def main(argv=None) -> None:
         cmd_train(args)
     elif args.cmd == "transmit":
         cmd_transmit(args)
+    elif args.cmd == "export":
+        cmd_export(args)
     else:
         cmd_evaluate(args)
 

@@ -264,3 +264,27 @@ def test_cli_classical_baseline(tmp_path):
     assert snr == 16.0
     assert bleu_clean > 0.95          # 16-QAM turbo is clean at 16 dB
     assert bleu_attacked < bleu_clean  # attack collapses classical coding
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """`export` writes a self-contained StableHLO blob that deserializes
+    and decodes without the package's model objects."""
+    import numpy as np
+
+    out = str(tmp_path / "decode.stablehlo")
+    common = TINY + [
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", str(tmp_path / "log"),
+    ]
+    cli.main(["export", "--variant", "transformer", "--snr-points", "2",
+              "--out", out] + common)
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    with open(out, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    ids = exp.call(jnp.zeros((4, 12), jnp.int32), jnp.int32(0),
+                   jnp.float32(0.0), jnp.ones((2,), jnp.float32))
+    assert np.asarray(ids).shape[0] == 2  # (S, B, T+1)
+    assert np.asarray(ids).shape[1] == 4
