@@ -263,6 +263,11 @@ def _restore_latest(cfg: Config, variant: str, state, tag: str):
             mgr = CheckpointManager(ckpt_dir)
             state = mgr.restore(state)
             print(f"[{tag}] restored epoch {mgr.latest_epoch()}")
+            if state.ema_params is not None:
+                # trained with --ema-decay: the shadow is what evaluation
+                # (and transmit/export) should use
+                state = state.replace(params=state.ema_params)
+                print(f"[{tag}] using EMA shadow params")
             return state
         except FileNotFoundError:
             pass
@@ -328,6 +333,12 @@ def cmd_evaluate(args) -> None:
             cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
         return
     if args.eval_mode == "beam":
+        if star:
+            raise SystemExit(
+                "beam search requires an autoregressive decoder; star "
+                "decoders are non-autoregressive (position i predicts "
+                "token i from the channel signal) — use --eval-mode "
+                "greedy, which decodes them in one shot")
         from deepsc_gan_tpu.evaluate.beam import make_beam_decode
         decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
         extra = ()

@@ -66,6 +66,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id)
     except (RuntimeError, ValueError) as e:
-        # single-process run (no coordinator configured): fine, stay local
-        if "already" not in str(e).lower() and coordinator_address:
+        # single-process run (no coordinator configured): fine, stay local.
+        # "already"/"once" both mean a prior initialize — keep the
+        # documented idempotency even for explicit single-process args
+        msg = str(e).lower()
+        if ("already" not in msg and "once" not in msg
+                and coordinator_address):
             raise

@@ -24,7 +24,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepsc_gan_tpu.ops.losses import loss_function
 from deepsc_gan_tpu.ops.masks import create_masks
-from deepsc_gan_tpu.train.steps import TrainState, _loss_kwargs, _shift_targets
+from deepsc_gan_tpu.train.steps import (
+    TrainState,
+    _loss_kwargs,
+    _shift_targets,
+    _step_noise,
+)
 from deepsc_gan_tpu.utils.config import Config
 
 
@@ -94,13 +99,17 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
             tar_real = tar
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
-        k_ch, k_do = jax.random.split(key)
+        # same 3-way split + per-step SNR draw as make_train_step, so the
+        # dp step stays bit-equivalent to the single-device step for ALL
+        # configs, including train_snr_random (the key is global/replicated)
+        k_ch, k_do, k_snr = jax.random.split(key, 3)
+        n_std_t = _step_noise(cfg, k_snr, n_std)
         p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
                       jnp.float32)
 
         def loss_fn(params):
             return forward_loss(params, inp, tar_inp, tar_real, k_ch, k_do,
-                                p, 0.0, n_std, enc_mask, combined_mask,
+                                p, 0.0, n_std_t, enc_mask, combined_mask,
                                 dec_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -123,8 +123,13 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
             return P()
 
         ospecs = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
+        # the EMA shadow (if enabled) mirrors the param tree's sharding
+        especs = (jax.tree_util.tree_map_with_path(param_spec,
+                                                   state.ema_params)
+                  if state.ema_params is not None else None)
         return TrainState(step=P(), params=pspecs, opt_state=ospecs,
-                          tx=state.tx)
+                          tx=state.tx, ema_params=especs,
+                          ema_decay=state.ema_decay)
 
     def step_impl(state, inp, tar, key, n_std):
         # inside shard_map: inp/tar are the per-dp-shard batch; the
@@ -207,4 +212,7 @@ def shard_tp_state(state: TrainState, mesh: Mesh,
     params = jax.tree_util.tree_map_with_path(put, state.params)
     opt_state = jax.tree_util.tree_map_with_path(put, state.opt_state)
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
-    return state.replace(step=step, params=params, opt_state=opt_state)
+    ema = (jax.tree_util.tree_map_with_path(put, state.ema_params)
+           if state.ema_params is not None else None)
+    return state.replace(step=step, params=params, opt_state=opt_state,
+                         ema_params=ema)

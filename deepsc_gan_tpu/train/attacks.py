@@ -22,7 +22,15 @@ import jax.numpy as jnp
 
 
 def fgm_normalize(grad: jnp.ndarray, epsilon: float = 1.0) -> jnp.ndarray:
-    """Per-sample L2 normalize * epsilon, then global L2 normalize."""
+    """Per-sample L2 normalize * epsilon, then global L2 normalize.
+
+    Quirk (Q7, faithful): the trailing GLOBAL normalization exactly
+    cancels epsilon — per-sample rows eps*g_i/||g_i|| have global norm
+    eps*sqrt(B), so the result is independent of eps. This is the
+    reference's own behavior (trainer.py:45-53 and every eval_step_*:
+    `r = eps*grad/norm(grad)` per row, then `r_list/norm(r_list)`);
+    effective attack strength is controlled solely by PNR_dB. Kept
+    exactly so attacked curves are protocol-comparable."""
     b = grad.shape[0]
     flat = grad.reshape(b, -1).astype(jnp.float32)
     per_norm = jnp.linalg.norm(flat, axis=1, keepdims=True)
@@ -67,6 +75,9 @@ def pgd_bisection(
     lo = jnp.asarray(0.0, jnp.float32)
     hi = jnp.asarray(1.0, jnp.float32)
     eps0 = (lo + hi) / 2.0
-    lo, hi, eps, loss_m = jax.lax.fori_loop(
+    lo, hi, eps, _ = jax.lax.fori_loop(
         0, iters, body, (lo, hi, eps0, clean_loss))
-    return eps, loss_m
+    # re-evaluate at the RETURNED eps: the loop's last loss belongs to the
+    # previous midpoint, so returning it would pair a never-evaluated eps
+    # with a stale loss
+    return eps, loss_of_perturbation(eps * direction)

@@ -127,6 +127,10 @@ def make_gan_train_step(model, cfg: Config,
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
         k_p, k_ch, k_do = jax.random.split(key, 3)
+        # note: the global normalization cancels the n_std factor — the
+        # perturbation is unit-norm regardless. Kept because the reference
+        # does exactly this (gan_train.py:13-14); tuning n_std here
+        # changes nothing by construction
         p = n_std * jax.random.normal(
             k_p, (inp.shape[0], cfg.seq_len, cfg.channel_dim), jnp.float32)
         p = p / jnp.linalg.norm(p)
@@ -156,6 +160,13 @@ def make_gan_train_step(model, cfg: Config,
             state, g_gen, phase_mask(state.params, include=(GENERATOR,)))
         state = selective_update(
             state, g_disc, phase_mask(state.params, exclude=TX_SIDE))
+        if state.ema_params is not None:
+            # selective_update bypasses apply_gradients, so advance the
+            # EMA shadow once per full 3-phase step here
+            d = state.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, q: d * e + (1.0 - d) * q,
+                state.ema_params, state.params))
         return state, (loss_v, g_v, d_v)
 
     return step

@@ -429,9 +429,13 @@ def make_eval_step(model, cfg: Config, channel_kind: Optional[str] = None,
 
         # attack gradient — always through an AWGN pass (reference
         # eval.py:204-213: for fading channels the gradient is taken from a
-        # separate AWGN forward; for AWGN it is the same pass)
+        # SEPARATE AWGN forward with its own noise draw; for AWGN it comes
+        # from the SAME tape as the clean forward, i.e. the same noise
+        # realization — so reuse k1 there)
+        k_grad = k1 if kind == "AWGN" else k2
+
         def loss_wrt_tx(tx_sym):
-            y = model.apply({"params": params}, k2, tx_sym, p0, pnr_db,
+            y = model.apply({"params": params}, k_grad, tx_sym, p0, pnr_db,
                             n_std, "AWGN", method="transmit")
             logits = model.apply({"params": params}, tar_inp, y,
                                  combined_mask, dec_mask, deterministic=True,
@@ -449,8 +453,8 @@ def make_eval_step(model, cfg: Config, channel_kind: Optional[str] = None,
         if attack_target == "tx":
             g = jax.grad(loss_wrt_tx)(tx_sym)
         else:
-            y_awgn = model.apply({"params": params}, k2, tx_sym, p0, pnr_db,
-                                 n_std, "AWGN", method="transmit")
+            y_awgn = model.apply({"params": params}, k_grad, tx_sym, p0,
+                                 pnr_db, n_std, "AWGN", method="transmit")
             g = jax.grad(loss_wrt_y)(y_awgn)
         pert = fgm_normalize(g, epsilon)
 

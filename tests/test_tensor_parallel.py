@@ -111,3 +111,26 @@ def test_tp_rejects_tied_and_smoothed_configs(tiny_cfg):
     cfg2 = tiny_cfg.replace(label_smoothing=0.1)
     with pytest.raises(ValueError, match="label_smoothing"):
         make_tp_train_step(make_model(cfg2, "transformer"), cfg2, mesh)
+
+
+def test_tp_step_with_ema_enabled(tiny_cfg, tiny_batch):
+    """cfg.ema_decay > 0 must not break the tp step: the EMA shadow rides
+    the state pytree through shard_tp_state and the shard_map specs."""
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40, ema_decay=0.9)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    assert state.ema_params is not None
+    mesh = make_mesh(dp=1, snr=2, axis_names=("tp", "dp"))
+    state_tp = shard_tp_state(state, mesh)
+    step = make_tp_train_step(model, cfg, mesh)(state)
+    s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3), 0.1)
+    assert np.isfinite(float(l2))
+    assert s2.ema_params is not None
+    # the shadow moved toward the updated params
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(s2.ema_params),
+                        jax.tree.leaves(state.ema_params)))
+    assert moved
