@@ -47,6 +47,7 @@ JOBS = [  # (params pickle, variant, output table)
     ("plain_best_params.pkl", "transformer", "eval-transformer-ours.pkl"),
     ("robust_params.pkl", "transformer", "eval-robust-ours.pkl"),
     ("gan_params.pkl", "gan", "eval-gan-ours.pkl"),
+    ("star_robust_params.pkl", "star", "eval-star-robust-ours.pkl"),
 ]
 
 
@@ -78,7 +79,8 @@ def main():
                                    **init_kw)
         state = state.replace(params=jax.tree.map(jnp.asarray, params))
         step = (make_gan_eval_step(model, cfg) if variant == "gan"
-                else make_eval_step(model, cfg))
+                else make_eval_step(model, cfg,
+                                    full_target=(variant == "star")))
         table = teacher_forced_sweep(step, state, batches, vocab, cfg,
                                      snrs=snrs, pnr_db=args.pnr_db,
                                      epsilon=args.epsilon,
