@@ -45,9 +45,10 @@ V5E_HBM_BYTES_PER_SEC = 819e9  # per chip
 
 
 def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
-                warmup: int, dtype: str):
+                warmup: int, dtype: str, cfg=None):
     """-> (sents_per_sec, flops_per_step, bytes_per_step); the
-    cost-analysis fields are None if the backend does not expose them."""
+    cost-analysis fields are None if the backend does not expose them.
+    `cfg` overrides the reference-scale default (used by --model-scale)."""
     from deepsc_gan_tpu.data.loader import synthetic_dataset
     from deepsc_gan_tpu.models.transceiver import make_model
     from deepsc_gan_tpu.train.steps import (
@@ -56,7 +57,8 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
     )
     from deepsc_gan_tpu.utils.config import Config
 
-    cfg = Config(bs=batch_size, dtype=dtype)
+    if cfg is None:
+        cfg = Config(bs=batch_size, dtype=dtype)
     model = make_model(cfg, "transformer")
     key = jax.random.PRNGKey(0)
     state = create_train_state(model, cfg, key)
@@ -106,13 +108,14 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
     return steps * scan_k * batch_size / best, flops, bytes_accessed
 
 
-def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
-                 reps: int, warmup: int):
-    """Greedy-decode (serving) throughput: decoded sequences/sec across a
-    fused SNR sweep (one dispatch covers snr_points noise levels x B
-    sentences, 30 autoregressive steps each — the reference decodes the
-    same workload with a Python loop re-running the full decoder stack
-    per token, utlis/eval.py:99-115)."""
+def bench_decode(batch_size: int, dtype: str, mode: str, snr_points: int,
+                 reps: int, warmup: int, beam_size: int = 4):
+    """Decode (serving) throughput: decoded sequences/sec across a fused
+    SNR sweep (one dispatch covers snr_points noise levels x B sentences,
+    30 autoregressive steps each — the reference decodes the same
+    workload with a Python loop re-running the full decoder stack per
+    token, utlis/eval.py:99-115). Modes: greedy "full"/"kv" (full-prefix
+    vs KV-cached) and "beam_full"/"beam_kv" (beam_size hypotheses)."""
     from deepsc_gan_tpu.models.transceiver import make_model
     from deepsc_gan_tpu.train.steps import create_train_state
     from deepsc_gan_tpu.utils.config import Config
@@ -120,13 +123,25 @@ def bench_decode(batch_size: int, dtype: str, kv: bool, snr_points: int,
     cfg = Config(bs=batch_size, dtype=dtype)
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0))
-    if kv:
+    if mode == "kv":
         from deepsc_gan_tpu.evaluate.kv_decode import (
             make_greedy_decode_kv_sweep)
         sweep = make_greedy_decode_kv_sweep(model, cfg)
-    else:
+    elif mode == "full":
         from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
         sweep = make_greedy_decode_sweep(model, cfg)
+    elif mode == "beam_kv":
+        from deepsc_gan_tpu.evaluate.beam import make_beam_decode_sweep
+        sweep = make_beam_decode_sweep(model, cfg, beam_size=beam_size)
+    else:  # beam_full: the O(L^2) full-prefix beam, vmapped over SNR
+        from deepsc_gan_tpu.evaluate.beam import make_beam_decode
+        decode = make_beam_decode(model, cfg, beam_size=beam_size)
+
+        @jax.jit
+        def sweep(params, inp, key, pnr_db, n_stds):
+            keys = jax.random.split(key, n_stds.shape[0])
+            return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(
+                params, inp, keys, pnr_db, n_stds)
 
     inp = jax.random.randint(jax.random.PRNGKey(1),
                              (batch_size, cfg.seq_len), 0, cfg.vocab_size,
@@ -189,6 +204,78 @@ def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
         set_star_kernel_mode("auto")
 
 
+def bench_model_scale(d_model: int, layers: int, batch: int, scan_k: int,
+                      steps: int, reps: int, warmup: int, dtype: str):
+    """Compute-bound scaling row: a d_model-wide 6+6-layer variant of the
+    same transceiver family (the capacity-ablation models, RESULTS.md) at
+    large batch, through the SAME make_train_multi_step path — the shape
+    where the MXU, not dispatch/HBM, should bind. Returns the row dict."""
+    from deepsc_gan_tpu.utils.config import Config
+
+    cfg = Config(
+        bs=batch, dtype=dtype,
+        encoder_d_model=d_model, decoder_d_model=d_model,
+        encoder_d_ff=4 * d_model, decoder_d_ff=4 * d_model,
+        encoder_num_layer=layers, decoder_num_layer=layers)
+    sps, flops, hbm = bench_batch(batch, scan_k, steps, reps, warmup,
+                                  dtype, cfg=cfg)
+    n_chips = max(jax.device_count(), 1)
+    per_chip = sps / n_chips
+    row = {"sents_per_sec": round(per_chip, 1),
+           "step_time_ms": round(1e3 * batch / per_chip, 3)}
+    if flops:
+        row["flops_per_step"] = round(flops)
+        row["mfu"] = round(flops * per_chip / batch / V5E_PEAK_FLOPS, 4)
+    if hbm:
+        row["hbm_roofline_ms"] = round(1e3 * hbm / V5E_HBM_BYTES_PER_SEC, 3)
+    return row
+
+
+def bench_ce_ab(batch: int, dtype: str, reps: int, warmup: int):
+    """Isolated A/B of the Pallas CE kernels vs the lax.scan fused path at
+    a shape where the kernel DISPATCHES (rows >= 4096, ops/fused_ce.py
+    gate): value+grad of the mean CE at N=batch*30 rows, reference
+    (D=128, V=22234). Returns {pallas_ms, scan_ms, speedup}."""
+    import numpy as np
+
+    from deepsc_gan_tpu.ops.fused_ce import fused_softmax_xent
+    from deepsc_gan_tpu.ops.pallas.ce import pallas_softmax_xent
+
+    d, v = 128, 22234
+    n = batch * 30
+    key = jax.random.PRNGKey(0)
+    dt = jnp.dtype(dtype)
+    h = jax.random.normal(key, (n, d), jnp.float32).astype(dt)
+    W = (jax.random.normal(jax.random.PRNGKey(1), (d, v), jnp.float32)
+         * 0.05)
+    b = jnp.zeros((v,), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (n,), 0, v,
+                                jnp.int32)
+
+    def timed(fn):
+        g = jax.jit(jax.grad(
+            lambda h, W, b: jnp.mean(fn(h, W, b, labels)),
+            argnums=(0, 1, 2)))
+        for _ in range(max(1, warmup)):
+            out = g(h, W, b)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = g(h, W, b)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return 1e3 * best
+
+    pallas_ms = timed(lambda h, W, b, l=labels: pallas_softmax_xent(
+        h, W, b, l))
+    scan_ms = timed(lambda h, W, b, l=labels: fused_softmax_xent(
+        h, W, b, l, 2048))
+    return {"rows": n, "pallas_ms": round(pallas_ms, 3),
+            "scan_ms": round(scan_ms, 3),
+            "pallas_speedup": round(scan_ms / pallas_ms, 3)}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=4,
@@ -209,6 +296,13 @@ def main() -> None:
     parser.add_argument("--decode", action="store_true",
                         help="also measure greedy-decode (serving) "
                              "throughput, full-prefix and KV-cached")
+    parser.add_argument("--model-scale", action="store_true",
+                        help="also measure compute-bound rows: d_model "
+                             "256/512, 6+6 layers, dff=4d, B>=512, bf16 "
+                             "(MFU demonstration; extra compiles)")
+    parser.add_argument("--ce-ab", action="store_true",
+                        help="also A/B the Pallas CE kernels vs the "
+                             "lax.scan path at a dispatching shape")
     args = parser.parse_args()
 
     sents_per_sec, flops, hbm_bytes = bench_batch(
@@ -255,11 +349,29 @@ def main() -> None:
 
     if args.decode:
         out["decode_sents_per_sec"] = round(
-            bench_decode(args.batch, args.dtype, False, 19, args.reps,
+            bench_decode(args.batch, args.dtype, "full", 19, args.reps,
                          args.warmup) / n_chips, 1)
         out["decode_kv_sents_per_sec"] = round(
-            bench_decode(args.batch, args.dtype, True, 19, args.reps,
+            bench_decode(args.batch, args.dtype, "kv", 19, args.reps,
                          args.warmup) / n_chips, 1)
+        out["beam4_kv_sents_per_sec"] = round(
+            bench_decode(args.batch, args.dtype, "beam_kv", 19, args.reps,
+                         args.warmup) / n_chips, 1)
+        out["beam4_full_sents_per_sec"] = round(
+            bench_decode(args.batch, args.dtype, "beam_full", 19,
+                         args.reps, args.warmup) / n_chips, 1)
+
+    if args.model_scale:
+        rows = {}
+        for d, layers, b, k in ((256, 6, 512, 8), (512, 6, 512, 4),
+                                (512, 6, 1024, 4)):
+            rows[f"d{d}_L{layers}_B{b}"] = bench_model_scale(
+                d, layers, b, k, 2, args.reps, 1, args.dtype)
+        out["model_scaling"] = rows
+
+    if args.ce_ab:
+        out["ce_kernel_vs_scan"] = bench_ce_ab(256, args.dtype, args.reps,
+                                               args.warmup)
 
     if args.scaling:
         rows = {}

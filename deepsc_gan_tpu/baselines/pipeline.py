@@ -30,8 +30,12 @@ def classical_sweep(
     pnr_db: float = 10.0,
     seed: int = 0,
     verbose: bool = True,
+    include_attacked: bool = True,
 ) -> list[list[float]]:
-    """-> rows [snr, bleu_attacked, bleu_clean] over the SNR sweep."""
+    """-> rows [snr, bleu_attacked, bleu_clean] over the SNR sweep.
+    `include_attacked=False` skips the attacked column (half the decode
+    work — used by the calibration grid, scripts/calibrate_classical.py)
+    and emits [snr, nan, bleu_clean] rows."""
     words = [s.split() for s in sentences]
     huff = HuffmanCodec(words)
     enc = [huff.encode(w) for w in words]
@@ -66,8 +70,8 @@ def classical_sweep(
         noise = sigma / np.sqrt(2.0) * (
             rng.standard_normal(len(tx))
             + 1j * rng.standard_normal(len(tx)))
-        scores = {}
-        for attacked in (True, False):
+        scores = {True: float("nan")}
+        for attacked in ((True, False) if include_attacked else (False,)):
             y = tx + noise
             if attacked:
                 # worst-case-direction physical-layer perturbation at

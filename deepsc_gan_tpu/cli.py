@@ -133,26 +133,45 @@ def cmd_train(args) -> None:
     # throughput — the chip may sit behind a high-latency tunnel);
     # dp/tp > 1: GSPMD / shard_map parallel steps over the mesh.
     mesh = None
+    mine_state = None
     scan_k = max(1, args.scan_steps)
     if cfg.dp > 1 or cfg.tp > 1:
         from deepsc_gan_tpu.parallel.mesh import make_mesh
-        if mode != "plain":
-            raise SystemExit(f"--dp/--tp currently support plain training "
-                             f"(got mode={mode})")
         if cfg.tp > 1:
+            if mode != "plain":
+                raise SystemExit(f"--tp supports plain training; for "
+                                 f"mode={mode} use --dp (all modes scale "
+                                 f"data-parallel)")
             from deepsc_gan_tpu.parallel.tensor_parallel import (
                 make_tp_train_step, shard_tp_state)
             mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
                              axis_names=("tp", "dp"))
             step = make_tp_train_step(model, cfg, mesh)(state)
-            state = shard_tp_state(state, mesh)
+            state = shard_tp_state(state, mesh, cfg)
         else:
             from deepsc_gan_tpu.parallel.sharding import (
-                make_parallel_train_step, replicate, shard_batch)
+                make_parallel_attack_step,
+                make_parallel_gan_step,
+                make_parallel_mine_step,
+                make_parallel_train_step,
+                replicate,
+                shard_batch,
+            )
             mesh = make_mesh(dp=cfg.dp, snr=1)
-            step = make_parallel_train_step(model, cfg, mesh)
+            if mode == "gan":
+                step = make_parallel_gan_step(model, cfg, mesh)
+            elif mode == "attack":
+                step = make_parallel_attack_step(
+                    model, cfg, mesh, full_target=star,
+                    adv_weight=args.adv_weight)
+            elif mode == "mine":
+                mine, mine_state = create_mine_state(cfg, key)
+                step = make_parallel_mine_step(model, mine, cfg, mesh)
+                mine_state = replicate(mine_state, mesh)
+            else:
+                step = make_parallel_train_step(model, cfg, mesh)
             state = replicate(state, mesh)
-        path = f"mesh{dict(mesh.shape)}"
+        path = f"mesh{dict(mesh.shape)}:{mode}"
     elif mode == "gan":
         step = make_gan_train_step(model, cfg)
         path = "gan3phase"
@@ -339,8 +358,15 @@ def cmd_evaluate(args) -> None:
                 "decoders are non-autoregressive (position i predicts "
                 "token i from the channel signal) — use --eval-mode "
                 "greedy, which decodes them in one shot")
-        from deepsc_gan_tpu.evaluate.beam import make_beam_decode
-        decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
+        from deepsc_gan_tpu.evaluate.beam import (
+            make_beam_decode,
+            make_beam_decode_kv,
+        )
+        if args.beam_impl == "full":
+            decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
+        else:  # KV-cached serving path (token-identical at f32)
+            decode = make_beam_decode_kv(model, cfg,
+                                         beam_size=args.beam_size)
         extra = ()
     elif args.eval_mode == "greedy_attack":
         decode = make_greedy_decode_attack(model, cfg, position_mode=pm,
@@ -536,6 +562,10 @@ def main(argv=None) -> None:
                            choices=["greedy", "beam", "greedy_attack",
                                     "greedy_gan", "teacher_forced", "pgd"])
             p.add_argument("--beam-size", type=int, default=4)
+            p.add_argument("--beam-impl", default="kv",
+                           choices=["kv", "full"],
+                           help="beam mode: KV-cached serving path "
+                                "(default) or the full-prefix oracle")
             p.add_argument("--kv-cache", action="store_true",
                            help="greedy mode: KV-cached decode (O(L) "
                                 "projections instead of O(L^2); "

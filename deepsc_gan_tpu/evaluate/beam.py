@@ -13,6 +13,17 @@ the same compiled program:
           top-k over (K * V) continuations per batch row -> gather
           the surviving prefixes.
 
+Two implementations:
+  - `make_beam_decode`     — full-prefix decode per step (the O(L^2)
+                             reference pattern; kept as the equivalence
+                             oracle for tests);
+  - `make_beam_decode_kv`  — the serving path: per-layer incremental K/V
+                             caches (evaluate/kv_decode.py), one position
+                             through the stack per step, with the caches
+                             GATHERED along the beam axis when beams are
+                             reordered by top-k. Token-identical to the
+                             full-prefix beam at float32 (tested).
+
 Finished beams (emitted <END>) are frozen: they propose exactly one
 continuation (PAD) carrying their score, so they compete with live beams
 in the joint top-k — standard length-preserving beam semantics. Scores
@@ -28,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from deepsc_gan_tpu.ops.masks import create_look_ahead_mask, create_padding_mask
+from deepsc_gan_tpu.ops.positional import positional_encoding
 from deepsc_gan_tpu.utils.config import Config
 
 NEG = -1e9
@@ -102,3 +114,166 @@ def make_beam_decode(model, cfg: Config, beam_size: int = 4,
             tokens, best[:, None, None], axis=1)[:, 0]
 
     return decode
+
+
+def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
+                        channel_kind: Optional[str] = None) -> Callable:
+    """KV-cached beam search (the serving path): beams fold into the
+    batch axis of the incremental per-layer caches, each step computes ONE
+    position through the stack, and the caches are gathered by the
+    surviving-beam indices after every top-k. O(L) stack passes total vs
+    the full-prefix beam's O(L^2) (evaluate/kv_decode.py design notes).
+    Vanilla transformer variant only. Returns jitted
+    `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`
+    (best beam) — token-identical to make_beam_decode at float32."""
+    from deepsc_gan_tpu.evaluate.kv_decode import (
+        _attend,
+        _attn_out,
+        _kv_memory,
+        _ln,
+        _qkv,
+    )
+
+    kind = channel_kind or cfg.channel
+    dtype = jnp.dtype(cfg.dtype)
+    K = beam_size
+    T = cfg.max_length
+    n_layers = cfg.decoder_num_layer
+    H = cfg.decoder_num_heads
+    Dh = cfg.decoder_d_model // H
+    sqrt_d = jnp.sqrt(jnp.asarray(cfg.decoder_d_model, dtype))
+
+    def decode(params, inp, key, pnr_db, n_std):
+        B = inp.shape[0]
+        enc_padding_mask = create_padding_mask(inp, cfg.pad_idx)
+        tx = model.apply({"params": params}, inp, enc_padding_mask,
+                         deterministic=True, method="encode")
+        y = model.apply({"params": params}, key, tx, jnp.zeros_like(tx),
+                        pnr_db, n_std, kind, method="transmit")
+        mem = model.apply({"params": params}, y,
+                          method="channel_decode").astype(dtype)
+
+        dec = params["semantic_decoder"]
+        layers = [dec[f"layer{i}"] for i in range(n_layers)]
+        E = dec["embed"]["embedding"]["embedding"]
+        pe = positional_encoding(512, cfg.decoder_d_model, dtype)[0]
+
+        # memory K/V + cross bias computed once, beams folded into batch
+        mem_k = jnp.repeat(mem, K, axis=0)                  # (B*K, Lm, D)
+        memKV = [_kv_memory(l["cross_mha"], mem_k) for l in layers]
+        cross_bias = jnp.repeat(
+            enc_padding_mask[:, :, 0, :].astype(jnp.float32) * NEG,
+            K, axis=0)                                      # (B*K, 1, Lm)
+
+        if "final_layer" in dec:
+            Wf = dec["final_layer"]["kernel"].astype(jnp.float32)
+            bf = dec["final_layer"]["bias"].astype(jnp.float32)
+        else:  # tied embeddings
+            Wf = E.T.astype(jnp.float32)
+            bf = dec["final_bias"].astype(jnp.float32)
+
+        tokens = jnp.full((B, K, T + 1), cfg.pad_idx, jnp.int32)
+        tokens = tokens.at[:, :, 0].set(cfg.start_idx)
+        scores = jnp.full((B, K), NEG, jnp.float32).at[:, 0].set(0.0)
+        finished = jnp.zeros((B, K), bool)
+        caches = tuple(
+            (jnp.zeros((B * K, T + 1, H, Dh), dtype),
+             jnp.zeros((B * K, T + 1, H, Dh), dtype))
+            for _ in range(n_layers))
+        positions = jnp.arange(T + 1)
+
+        def body(i, carry):
+            tokens, scores, finished, caches = carry
+            flat = tokens.reshape(B * K, T + 1)
+            tok = jax.lax.dynamic_index_in_dim(flat, i, axis=1,
+                                               keepdims=False)
+            x = E[tok].astype(dtype) * sqrt_d + pe[i].astype(dtype)
+
+            # keys blocked when causal-future OR emitted token is <PAD>
+            # (parity with the full-prefix combined mask)
+            blocked = (positions[None, :] > i) | (flat == cfg.pad_idx)
+            self_bias = jnp.where(blocked, NEG, 0.0)[:, None, :]
+
+            new_caches = []
+            for l, (Kc, Vc), (Km, Vm) in zip(layers, caches, memKV):
+                p = l["self_mha"]
+                qi = _qkv(p["wq"], x)
+                ki = _qkv(p["wk"], x)
+                vi = _qkv(p["wv"], x)
+                Kc = jax.lax.dynamic_update_index_in_dim(Kc, ki, i, axis=1)
+                Vc = jax.lax.dynamic_update_index_in_dim(Vc, vi, i, axis=1)
+                attn = _attn_out(p, _attend(qi, Kc, Vc, self_bias))
+                out1 = _ln(l["ln1"], x + attn).astype(dtype)
+
+                p2 = l["cross_mha"]
+                q2 = _qkv(p2["wq"], out1)
+                attn2 = _attn_out(p2, _attend(q2, Km, Vm, cross_bias))
+                out2 = _ln(l["ln2"], attn2 + out1).astype(dtype)
+
+                if cfg.ffn_mode == "identity":
+                    ffn = out2
+                else:
+                    f = l["ffn"]
+                    h = jnp.maximum(
+                        out2 @ f["fc1"]["kernel"].astype(dtype)
+                        + f["fc1"]["bias"].astype(dtype), 0)
+                    ffn = (h @ f["fc2"]["kernel"].astype(dtype)
+                           + f["fc2"]["bias"].astype(dtype))
+                x = _ln(l["ln3"], ffn + out2).astype(dtype)
+                new_caches.append((Kc, Vc))
+
+            logits = x.astype(jnp.float32) @ Wf + bf        # (B*K, V)
+            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, -1)
+
+            frozen = jnp.full_like(logp, NEG).at[:, :, cfg.pad_idx].set(0.0)
+            logp = jnp.where(finished[:, :, None], frozen, logp)
+
+            cand = scores[:, :, None] + logp                # (B, K, V)
+            v = cand.shape[-1]
+            top_scores, top_idx = jax.lax.top_k(
+                cand.reshape(B, K * v), K)
+            src_beam = top_idx // v                         # (B, K)
+            next_tok = (top_idx % v).astype(jnp.int32)
+
+            tokens = jnp.take_along_axis(tokens, src_beam[:, :, None],
+                                         axis=1)
+            tokens = tokens.at[:, :, i + 1].set(next_tok)
+            finished = jnp.take_along_axis(finished, src_beam, axis=1)
+            finished = finished | (next_tok == cfg.end_idx)
+
+            # reorder the caches to follow the surviving beams
+            idx = src_beam[:, :, None, None, None]
+            gathered = []
+            for Kc, Vc in new_caches:
+                Kb = Kc.reshape(B, K, T + 1, H, Dh)
+                Vb = Vc.reshape(B, K, T + 1, H, Dh)
+                Kb = jnp.take_along_axis(Kb, idx, axis=1)
+                Vb = jnp.take_along_axis(Vb, idx, axis=1)
+                gathered.append((Kb.reshape(B * K, T + 1, H, Dh),
+                                 Vb.reshape(B * K, T + 1, H, Dh)))
+            return tokens, top_scores, finished, tuple(gathered)
+
+        tokens, scores, _, _ = jax.lax.fori_loop(
+            0, T, body, (tokens, scores, finished, caches))
+        best = jnp.argmax(scores, axis=1)
+        return jnp.take_along_axis(
+            tokens, best[:, None, None], axis=1)[:, 0]
+
+    return jax.jit(decode)
+
+
+def make_beam_decode_sweep(model, cfg: Config, beam_size: int = 4,
+                           channel_kind: Optional[str] = None) -> Callable:
+    """KV-cached beam search across a VECTOR of noise levels in one jitted
+    call (mirrors evaluate.greedy.make_greedy_decode_sweep):
+    `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`."""
+    decode = make_beam_decode_kv(model, cfg, beam_size, channel_kind)
+    inner = decode.__wrapped__
+
+    @jax.jit
+    def sweep(params, inp, key, pnr_db, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return jax.vmap(inner, in_axes=(None, None, 0, None, 0))(
+            params, inp, keys, pnr_db, n_stds)
+
+    return sweep

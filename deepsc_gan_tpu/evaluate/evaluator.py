@@ -23,13 +23,19 @@ from deepsc_gan_tpu.utils.config import Config
 
 def make_scorers(metric: str = "bleu",
                  bleu_weights=(1.0, 0.0, 0.0, 0.0),
-                 bert_path: str = "bert-base-uncased") -> list:
+                 bert_path: str = None) -> list:
     """Scorer list for `metric` in {bleu, similarity, both} (reference
     scores BLEU and BERT sentence similarity side by side,
-    utlis/tools.py:30-103). BERT similarity needs local weights; in fully
-    offline environments it falls back to the bag-of-words
+    utlis/tools.py:30-103). BERT similarity needs local weights — set
+    DEEPSC_BERT_PATH to a local HF checkpoint dir (or have
+    bert-base-uncased in the HF cache) and it is picked up automatically;
+    in fully offline environments it falls back to the bag-of-words
     `UnigramSimilarity` proxy (a warning is printed)."""
+    import os
     import sys
+
+    if bert_path is None:
+        bert_path = os.environ.get("DEEPSC_BERT_PATH", "bert-base-uncased")
 
     from deepsc_gan_tpu.evaluate.metrics import Similarity, UnigramSimilarity
 

@@ -14,8 +14,10 @@ chunk logits in the backward instead of saving them. Per-chunk logits
 live only inside a `lax.scan` iteration, sized to stay in VMEM, so total
 HBM traffic drops to ~2 logits-passes (one fwd, one bwd recompute).
 
-Numerics: all softmax arithmetic in float32 regardless of h/W dtype;
-results match the naive ops.losses path to ~1e-5 (tested).
+Numerics: all softmax arithmetic in float32. Matmul OPERANDS follow the
+activation dtype (bf16 hidden -> bf16 x bf16 -> f32-accumulate chunk
+matmuls at full MXU rate — the standard mixed-precision contract); with
+f32 operands results match the naive ops.losses path to ~1e-5 (tested).
 """
 
 from __future__ import annotations
@@ -46,15 +48,23 @@ def fused_softmax_xent(h, W, b, labels, chunk: int = 2048):
     return ce
 
 
+def _op_dtype(h):
+    """Matmul operand dtype policy: follow low-precision activations
+    (bf16 operands -> full MXU rate, f32 accumulate); anything else f32."""
+    return jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _fwd_impl(h, W, b, labels, chunk):
-    h32 = h.astype(jnp.float32)
-    W32 = W.astype(jnp.float32)
+    od = _op_dtype(h)
+    h_op = h.astype(od)
+    W_op = W.astype(od)
     b32 = b.astype(jnp.float32)
-    Wp, bp, vp = _pad_vocab(W32, b32, chunk)
+    Wp, bp, vp = _pad_vocab(W_op, b32, chunk)
     n = h.shape[0]
     nc = vp // chunk
 
-    gold = (jnp.einsum("nd,dn->n", h32, W32[:, labels])
+    gold = (jnp.einsum("nd,dn->n", h_op, W_op[:, labels],
+                       preferred_element_type=jnp.float32)
             + b32[labels])
 
     # chunks are taken by dynamic_slice along the (minor) vocab axis — a
@@ -65,7 +75,8 @@ def _fwd_impl(h, W, b, labels, chunk):
         Wk = jax.lax.dynamic_slice(Wp, (0, idx * chunk),
                                    (Wp.shape[0], chunk))
         bk = jax.lax.dynamic_slice(bp, (idx * chunk,), (chunk,))
-        lg = h32 @ Wk + bk[None, :]                     # (N, C) transient
+        lg = jnp.dot(h_op, Wk, preferred_element_type=jnp.float32) \
+            + bk[None, :]                               # (N, C) transient
         cm = jnp.max(lg, axis=-1)
         nm = jnp.maximum(m, cm)
         s = s * jnp.exp(m - nm) + jnp.sum(
@@ -85,10 +96,11 @@ def _fused_fwd(h, W, b, labels, chunk):
 
 def _fused_bwd(chunk, res, g):
     h, W, b, labels, lse = res
-    h32 = h.astype(jnp.float32)
-    W32 = W.astype(jnp.float32)
+    od = _op_dtype(h)
+    h_op = h.astype(od)
+    W_op = W.astype(od)
     b32 = b.astype(jnp.float32)
-    Wp, bp, vp = _pad_vocab(W32, b32, chunk)
+    Wp, bp, vp = _pad_vocab(W_op, b32, chunk)
     d = W.shape[0]
     v = W.shape[1]
     nc = vp // chunk
@@ -98,26 +110,32 @@ def _fused_bwd(chunk, res, g):
         dh, dW, db = carry
         Wk = jax.lax.dynamic_slice(Wp, (0, idx * chunk), (d, chunk))
         bk = jax.lax.dynamic_slice(bp, (idx * chunk,), (chunk,))
-        lg = h32 @ Wk + bk[None, :]
+        lg = jnp.dot(h_op, Wk, preferred_element_type=jnp.float32) \
+            + bk[None, :]
         p = jnp.exp(lg - lse[:, None]) * g32[:, None]    # (N, C) transient
-        dh = dh + p @ Wk.T
-        dW = jax.lax.dynamic_update_slice(dW, h32.T @ p, (0, idx * chunk))
+        p_op = p.astype(od)
+        dh = dh + jnp.dot(p_op, Wk.T, preferred_element_type=jnp.float32)
+        dW = jax.lax.dynamic_update_slice(
+            dW, jnp.dot(h_op.T, p_op, preferred_element_type=jnp.float32),
+            (0, idx * chunk))
         db = jax.lax.dynamic_update_slice(db, jnp.sum(p, axis=0),
                                           (idx * chunk,))
         return (dh, dW, db), None
 
     (dh, dW, db), _ = jax.lax.scan(
         body,
-        (jnp.zeros_like(h32), jnp.zeros((d, vp), jnp.float32),
+        (jnp.zeros((h.shape[0], d), jnp.float32),
+         jnp.zeros((d, vp), jnp.float32),
          jnp.zeros((vp,), jnp.float32)),
         jnp.arange(nc))
     dW = dW[:, :v]
     db = db[:v]
 
     # the -onehot part of (softmax - onehot)
-    Wl = W32[:, labels]                                   # (D, N)
+    Wl = W_op[:, labels].astype(jnp.float32)              # (D, N)
     dh = dh - (g32[:, None] * Wl.T)
-    dW = dW.at[:, labels].add(-(h32 * g32[:, None]).T)
+    dW = dW.at[:, labels].add(-(h_op.astype(jnp.float32)
+                                * g32[:, None]).T)
     db = db.at[labels].add(-g32)
 
     return dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype), None

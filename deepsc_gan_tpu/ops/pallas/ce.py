@@ -19,8 +19,12 @@ grows past VMEM. These kernels do the whole thing as a blocked grid:
                     the (D, TV) output block held in VMEM across the inner
                     N sweep.
 
-Numerics: f32 accumulation throughout (inputs upcast on load). Tiles
-default (256, 2048): VMEM high-water ~3.5 MB per program.
+Numerics: f32 accumulation and softmax arithmetic throughout. Matmul
+OPERANDS keep the activation dtype: with bf16 hidden states the chunk
+matmuls run bf16 x bf16 -> f32 at full MXU rate (the standard
+mixed-precision contract; f32 operands behave exactly as before). Tiles
+default (256, 2048): VMEM high-water ~3.5 MB per program (~16 MB/core
+available).
 
 Mode control mirrors ops/pallas/star.py: "auto" picks the kernels on TPU
 and the lax.scan path elsewhere; "interpret" runs these kernels in
@@ -86,9 +90,8 @@ def _fwd_kernel(h_ref, w_ref, b_ref, lab_ref, ce_ref, lse_ref,
         s_sc[:] = jnp.zeros_like(s_sc)
         g_sc[:] = jnp.zeros_like(g_sc)
 
-    h = h_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
-    logits = jnp.dot(h, w, preferred_element_type=jnp.float32) \
+    logits = jnp.dot(h_ref[:], w_ref[:],
+                     preferred_element_type=jnp.float32) \
         + b_ref[:].astype(jnp.float32)                       # (TN, TV)
 
     m_old = m_sc[:]                                          # (TN, 1)
@@ -151,16 +154,16 @@ def _pallas_ce_fwd(h, W, b, labels, tn, tv, interpret):
 def _dh_kernel(h_ref, w_ref, b_ref, lab_ref, lse_ref, g_ref, dh_ref,
                *, tv: int):
     j = pl.program_id(1)
-    h = h_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
-    logits = jnp.dot(h, w, preferred_element_type=jnp.float32) \
+    w = w_ref[:]
+    logits = jnp.dot(h_ref[:], w, preferred_element_type=jnp.float32) \
         + b_ref[:].astype(jnp.float32)
     p = jnp.exp(logits - lse_ref[:]) * g_ref[:]              # (TN, TV)
     tn = p.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tv), 1) + j * tv
     onehot = (cols == lab_ref[:]).astype(jnp.float32)
     p = p - onehot * g_ref[:]
-    contrib = jnp.dot(p, w.T, preferred_element_type=jnp.float32)
+    contrib = jnp.dot(p.astype(w.dtype), w.T,
+                      preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -175,16 +178,16 @@ def _dw_kernel(h_ref, w_ref, b_ref, lab_ref, lse_ref, g_ref,
                dw_ref, db_ref, *, tv: int):
     j = pl.program_id(0)
     i = pl.program_id(1)
-    h = h_ref[:].astype(jnp.float32)
-    w = w_ref[:].astype(jnp.float32)
-    logits = jnp.dot(h, w, preferred_element_type=jnp.float32) \
+    h = h_ref[:]
+    logits = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32) \
         + b_ref[:].astype(jnp.float32)
     p = jnp.exp(logits - lse_ref[:]) * g_ref[:]
     tn = p.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tn, tv), 1) + j * tv
     onehot = (cols == lab_ref[:]).astype(jnp.float32)
     p = p - onehot * g_ref[:]
-    dw_c = jnp.dot(h.T, p, preferred_element_type=jnp.float32)  # (D, TV)
+    dw_c = jnp.dot(h.T, p.astype(h.dtype),
+                   preferred_element_type=jnp.float32)          # (D, TV)
     db_c = jnp.sum(p, axis=0, keepdims=True)                    # (1, TV)
 
     @pl.when(i == 0)
@@ -276,9 +279,16 @@ def pallas_softmax_xent(h, W, b, labels, tn: int = 256, tv: int = 2048):
     return ce
 
 
+def _op_dtype(h):
+    """Matmul operand dtype policy: follow low-precision activations
+    (bf16 operands -> full MXU rate, f32 accumulate); anything else f32."""
+    return jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _fwd_dispatch(h, W, b, labels, tn, tv):
     interp = ce_kernel_mode() == "interpret"
-    return _pallas_ce_fwd(h.astype(jnp.float32), W.astype(jnp.float32),
+    od = _op_dtype(h)
+    return _pallas_ce_fwd(h.astype(od), W.astype(od),
                           b.astype(jnp.float32),
                           labels.astype(jnp.int32), tn, tv, interp)
 
@@ -291,8 +301,9 @@ def _op_fwd(h, W, b, labels, tn, tv):
 def _op_bwd(tn, tv, res, g):
     h, W, b, labels, lse = res
     interp = ce_kernel_mode() == "interpret"
+    od = _op_dtype(h)
     dh, dW, db = _pallas_ce_bwd(
-        h.astype(jnp.float32), W.astype(jnp.float32),
+        h.astype(od), W.astype(od),
         b.astype(jnp.float32), labels.astype(jnp.int32), lse,
         g.astype(jnp.float32), tn, tv, interp)
     return dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype), None

@@ -95,11 +95,23 @@ def _satellite_kernel(q_ref, k_ref, v_ref, seg_ref, out_ref, *, depth: int):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _row_tile(d: int) -> int:
+    """Row-tile size: 256 at the reference d_model=128 (measured sweet
+    spot, RESULTS.md) and shrinking for larger d so the ~12 f32
+    tile-sized buffers (q, 5xk, 5xv, out) stay a few MB of the ~16 MB
+    VMEM, leaving room for double buffering. Multiple of 8 (f32 sublane
+    tiling)."""
+    if d <= 128:
+        return 256
+    budget = 2 * 1024 * 1024  # bytes for the 12 live tile buffers
+    return max(8, (budget // (12 * 4 * d)) // 8 * 8)
+
+
 def _pallas_satellite(q2, k_stack, v_stack, num_heads: int,
                       interpret: bool) -> jnp.ndarray:
     n, d = q2.shape
     depth = d // num_heads
-    tile = 256
+    tile = _row_tile(d)
     pad = (-n) % tile
     if pad:
         q2 = jnp.pad(q2, ((0, pad), (0, 0)))

@@ -122,6 +122,78 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
     )
 
 
+def _gspmd(jitted_step, arg_shardings, out_shardings):
+    """Re-jit a single-device step function with explicit shardings.
+
+    GSPMD semantics: the SAME traced program as the single-device step,
+    with input shardings constraining the layout — XLA partitions the
+    computation and inserts the collectives (gradient psum, global-norm
+    reductions for FGM, batch-permutation all-to-all for MINE) over ICI.
+    The result is bit-equivalent to the single-device step on the gathered
+    batch (tested in tests/test_sharding.py)."""
+    inner = getattr(jitted_step, "__wrapped__", jitted_step)
+    return jax.jit(inner, in_shardings=arg_shardings,
+                   out_shardings=out_shardings)
+
+
+def make_parallel_attack_step(model, cfg: Config, mesh: Mesh,
+                              channel_kind: Optional[str] = None,
+                              full_target: bool = False,
+                              adv_weight: float = 1.0,
+                              dp_axis: str = "dp") -> Callable:
+    """Data-parallel FGM adversarial train step (the reference's core
+    `train_attack_step` loop, utlis/trainer.py:30-64, scaled over the
+    mesh). Same program as train.steps.make_train_attack_step with the
+    batch sharded over `dp_axis`: the per-sample FGM norms are local rows;
+    the trailing GLOBAL norm (quirk Q7) and the loss/grad means become XLA
+    cross-chip reductions. Returns
+    `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (state, (clean_loss, adv_loss))` with state replicated."""
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    step = make_train_attack_step(model, cfg, channel_kind, full_target,
+                                  adv_weight)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+    return _gspmd(step, (repl, data, data, repl, repl, repl, repl), repl)
+
+
+def make_parallel_gan_step(model, cfg: Config, mesh: Mesh,
+                           channel_kind: Optional[str] = None,
+                           dp_axis: str = "dp") -> Callable:
+    """Data-parallel GAN 3-phase train step (reference `gan_train_step`,
+    utlis/gan_train.py:8-50, scaled over the mesh). Same program as
+    train.gan_steps.make_gan_train_step — shared-Adam filtered-apply
+    semantics included — with the batch sharded over `dp_axis`; the three
+    backward passes each psum their grads across chips. Returns
+    `step(state, inp, tar, key, n_std)
+    -> (state, (loss, g_loss, d_loss))` with state replicated."""
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    step = make_gan_train_step(model, cfg, channel_kind)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+    return _gspmd(step, (repl, data, data, repl, repl), repl)
+
+
+def make_parallel_mine_step(model, mine, cfg: Config, mesh: Mesh,
+                            channel_kind: Optional[str] = None,
+                            dp_axis: str = "dp") -> Callable:
+    """Data-parallel MINE joint train step (quirk Q6 capability,
+    train.mine_steps). The batch (and hence the tx/y samples feeding the
+    DV bound) is sharded over `dp_axis`; the marginal-sample permutation
+    crosses shards (XLA inserts the all-to-all), so the MI estimate is
+    computed over the GLOBAL batch exactly as on one device. Returns
+    `step(state, mine_state, inp, tar, key, n_std)
+    -> (state, mine_state, (loss, mi))` with both states replicated."""
+    from deepsc_gan_tpu.train.mine_steps import make_mine_train_step
+
+    step = make_mine_train_step(model, mine, cfg, channel_kind)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(dp_axis))
+    return _gspmd(step, (repl, repl, data, data, repl, repl), repl)
+
+
 def make_parallel_greedy_sweep(model, cfg: Config, mesh: Mesh,
                                channel_kind: Optional[str] = None,
                                position_mode: str = "step",

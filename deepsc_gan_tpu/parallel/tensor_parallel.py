@@ -5,21 +5,27 @@ The model's parameters are dominated by three (22234 x 128) matrices
 tiny. The natural tensor-parallel split on TPU is therefore
 Megatron-style VOCAB parallelism:
 
-  - the final projection kernel W (D, V) is sharded on V over the `tp`
-    mesh axis — each chip holds a (D, V/tp) shard;
-  - the fused online-softmax CE computes per-shard partial (max, sumexp)
-    and the gold logit only on the shard that owns the label, then
-    combines with `jax.lax.pmax` / `psum` over `tp` — the ONLY
-    cross-chip traffic is two (N,)-sized collectives per step (vs
-    all-gathering (N, V) logits);
-  - batch stays sharded over `dp`; gradients for replicated params are
-    psum'd over dp (and over tp, where tp chips computed partial dW for
-    their shard only).
+  - the final projection weights are sharded on the vocab axis over `tp`:
+    the untied `final_layer` kernel (D, V) column-wise, or — with
+    `tie_embeddings` — the decoder embedding table (V, D) row-wise (its
+    transpose IS the projection) plus the (V,) output bias;
+  - the CE computes per-shard partial (max, sumexp), the gold logit on
+    the shard that owns the label, and (for label smoothing) the partial
+    vocab-sum, combining with `pmax`/`psum` over `tp` — the only
+    cross-chip traffic is a few (N,)-sized collectives per step, vs
+    all-gathering (N, V) logits;
+  - batch stays sharded over `dp`.
 
-Implemented with `shard_map` so the collectives are explicit and ride ICI.
-The embeddings stay replicated (their lookup is a gather — cheap — and
-sharding them would turn every lookup into a collective); only the
-projection + CE, which dominate FLOPs and memory traffic, are split.
+Architecture: the FORWARD (encoder, channel, decoder layers — including
+the tied-table embedding lookup) is the ordinary single-device program
+jitted under GSPMD with the vocab-owning params sharded; XLA partitions
+it and inserts the collectives. Only the projection+CE — the one op where
+GSPMD's default partition would materialize or gather (N, V) logits — is
+an explicit `shard_map` over the full (dp, tp) mesh with hand-placed
+collectives riding ICI. Because the forward is literally the same traced
+program at the same global PRNG key, the (dp, tp) step is numerically
+equivalent to the dp-only GSPMD step (and to the single-device step) to
+reduction-order tolerance — tested in tests/test_tensor_parallel.py.
 
 This is a NEW capability (the reference is single-device; SURVEY.md §2
 "parallelism inventory: zero") — at reference scale it is for scale-out
@@ -28,7 +34,7 @@ headroom, and the same recipe carries to larger vocabularies/models.
 
 from __future__ import annotations
 
-
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -37,19 +43,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from deepsc_gan_tpu.ops.masks import create_masks
-from deepsc_gan_tpu.train.steps import TrainState, _loss_kwargs, _shift_targets
+from deepsc_gan_tpu.train.steps import (
+    TrainState,
+    _final_wb,
+    _loss_kwargs,
+    _shift_targets,
+    _step_noise,
+)
 from deepsc_gan_tpu.utils.config import Config
 
 NEG = -1e30
 
 
-def vocab_parallel_ce(hidden, W_shard, b_shard, labels, shard_offset,
-                      tp_axis: str, mask):
+def vocab_parallel_ce_rows(hidden, W_shard, b_shard, labels, shard_offset,
+                           tp_axis: str, label_smoothing: float = 0.0,
+                           vocab_total: Optional[int] = None):
     """Per-row CE with W/b sharded on the vocab axis inside shard_map.
 
     hidden: (N, D) replicated-over-tp; W_shard: (D, Vs); b_shard: (Vs,);
     labels: (N,) global ids; shard_offset: this shard's first vocab id.
-    -> mean masked CE (replicated over tp)."""
+    -> per-row CE (N,), replicated over tp. With label_smoothing the
+    fused-path convention applies: ce += alpha*(gold - mean_v logits)
+    (ops/fused_ce.py) — the vocab mean needs `vocab_total`."""
     h32 = hidden.astype(jnp.float32)
     logits = h32 @ W_shard.astype(jnp.float32) + b_shard.astype(jnp.float32)
 
@@ -71,7 +86,46 @@ def vocab_parallel_ce(hidden, W_shard, b_shard, labels, shard_offset,
     gold = jax.lax.psum(jnp.where(owned, gold_local, 0.0), tp_axis)
 
     ce = lse - gold
+    if label_smoothing:
+        if vocab_total is None:
+            raise ValueError("label_smoothing needs vocab_total")
+        mean_logits = jax.lax.psum(jnp.sum(logits, axis=-1),
+                                   tp_axis) / vocab_total
+        ce = ce + label_smoothing * (gold - mean_logits)
+    return ce
+
+
+def vocab_parallel_ce(hidden, W_shard, b_shard, labels, shard_offset,
+                      tp_axis: str, mask, label_smoothing: float = 0.0,
+                      vocab_total: Optional[int] = None):
+    """Mean masked CE over the LOCAL rows (replicated over tp) — the
+    shard_map building block; see vocab_parallel_ce_rows."""
+    ce = vocab_parallel_ce_rows(hidden, W_shard, b_shard, labels,
+                                shard_offset, tp_axis, label_smoothing,
+                                vocab_total)
     return jnp.mean(ce * mask)
+
+
+def _vocab_param_spec(cfg: Config, tp_axis: str):
+    """Path-rule: which params are sharded on the vocab axis.
+
+    Untied: semantic_decoder.final_layer {kernel (D,V) -> P(None, tp),
+    bias (V,) -> P(tp)}. Tied: the DECODER embedding table (V, D) ->
+    P(tp, None) and final_bias (V,) -> P(tp). The encoder table (and the
+    tied table's gather-lookup) stay GSPMD-managed."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "final_layer" in keys:
+            return P(None, tp_axis) if "kernel" in keys else P(tp_axis)
+        if "final_bias" in keys:
+            return P(tp_axis)
+        if (cfg.tie_embeddings and "semantic_decoder" in keys
+                and "embedding" in keys):
+            return P(tp_axis, None)
+        return P()
+
+    return spec
 
 
 def make_tp_train_step(model, cfg: Config, mesh: Mesh,
@@ -79,134 +133,116 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
                        dp_axis: str = "dp", tp_axis: str = "tp") -> Callable:
     """Data- AND tensor-parallel train step over a (dp, tp) mesh.
 
-    Sharding layout: batch on dp; the final projection's kernel/bias on
-    tp (vocab axis); everything else replicated. Returns
+    Supports the full flagship recipe — tied embeddings and label
+    smoothing included (round-2 gates lifted). Returns a curried maker:
+    `make_tp_train_step(model, cfg, mesh)(state)` -> jitted
     `step(state, inp, tar, key, n_std) -> (state, loss)`; use
     `shard_tp_state` to place the state before the first call."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
-    if cfg.tie_embeddings:
-        raise ValueError(
-            "vocab-parallel TP shards the untied final projection; with "
-            "tie_embeddings the projection IS the decoder embedding "
-            "(gather-heavy to shard) — use dp for tied models")
-    if cfg.label_smoothing:
-        raise ValueError("label_smoothing not yet folded into the "
-                         "vocab-parallel CE; use dp or alpha=0")
     ntp = mesh.shape[tp_axis]
     if cfg.vocab_size % ntp:
         raise ValueError(f"vocab {cfg.vocab_size} % tp {ntp} != 0 — pad the "
                          "vocab (Config.vocab_size) to a multiple of tp")
+    if cfg.bs % mesh.shape[dp_axis]:
+        raise ValueError(f"batch {cfg.bs} % dp {mesh.shape[dp_axis]} != 0")
     vs = cfg.vocab_size // ntp
+    alpha = lkw.get("label_smoothing") or 0.0
+    spec_rule = _vocab_param_spec(cfg, tp_axis)
 
-    # param specs: final_layer sharded on vocab, rest replicated
-    def param_spec(path, leaf):
-        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-        if "final_layer" in keys:
-            if "kernel" in keys:
-                return P(None, tp_axis)   # (D, V)
-            return P(tp_axis)             # bias (V,)
-        return P()
+    # the explicit-collective CE: hidden rows sharded over dp, projection
+    # weights over tp; returns the GLOBAL mean masked CE (the reference's
+    # mean-over-all-positions semantics, ops/losses.loss_function)
+    def ce_shard(hidden, W, b, labels, mask):
+        n_global = cfg.bs * (cfg.seq_len - 1)
+        off = jax.lax.axis_index(tp_axis) * vs
+        ce = vocab_parallel_ce_rows(hidden, W, b, labels, off, tp_axis,
+                                    alpha, cfg.vocab_size)
+        return jax.lax.psum(jnp.sum(ce * mask), dp_axis) / n_global
 
-    def state_specs(state):
-        pspecs = jax.tree_util.tree_map_with_path(param_spec, state.params)
-        # optimizer state mirrors the param tree wherever shapes match
-        def opt_spec(path, leaf):
-            return _opt_leaf_spec(path, leaf)
+    ce_mapped = shard_map(
+        ce_shard, mesh=mesh,
+        in_specs=(P(dp_axis), P(None, tp_axis), P(tp_axis), P(dp_axis),
+                  P(dp_axis)),
+        out_specs=P(),
+        check_vma=False)
 
-        def _opt_leaf_spec(path, leaf):
-            keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-            if "final_layer" in keys:
-                if "kernel" in keys:
-                    return P(None, tp_axis)
-                return P(tp_axis)
-            return P()
-
-        ospecs = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
-        # the EMA shadow (if enabled) mirrors the param tree's sharding
-        especs = (jax.tree_util.tree_map_with_path(param_spec,
-                                                   state.ema_params)
-                  if state.ema_params is not None else None)
-        return TrainState(step=P(), params=pspecs, opt_state=ospecs,
-                          tx=state.tx, ema_params=especs,
-                          ema_decay=state.ema_decay)
-
-    def step_impl(state, inp, tar, key, n_std):
-        # inside shard_map: inp/tar are the per-dp-shard batch; the
-        # final-layer params are per-tp shards
-        tp_idx = jax.lax.axis_index(tp_axis)
-        shard_offset = tp_idx * vs
+    def step(state: TrainState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
-        # fold dp index into the key so each shard draws distinct noise
-        key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
-        k_ch, k_do = jax.random.split(key)
+        # identical key split to the dp-only GSPMD step
+        # (parallel/sharding.py:make_parallel_train_step) so the two are
+        # numerically equivalent at the same key
+        k_ch, k_do, k_snr = jax.random.split(key, 3)
+        n_std_t = _step_noise(cfg, k_snr, n_std)
         p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
                       jnp.float32)
 
         def loss_fn(params):
+            # GSPMD region: the ordinary staged forward — with tied
+            # embeddings the row-sharded table's lookup is partitioned by
+            # XLA automatically
             tx_sym = model.apply({"params": params}, inp, enc_mask,
                                  deterministic=False,
                                  rngs={"dropout": k_do}, method="encode")
-            y = model.apply({"params": params}, k_ch, tx_sym, p, 0.0, n_std,
-                            kind, method="transmit")
+            y = model.apply({"params": params}, k_ch, tx_sym, p, 0.0,
+                            n_std_t, kind, method="transmit")
             hidden = model.apply({"params": params}, tar_inp, y,
                                  combined_mask, dec_mask,
                                  deterministic=False,
                                  rngs={"dropout": k_do},
                                  method="decode_loss_ready")
-            fl = params["semantic_decoder"]["final_layer"]
+            W, bb = _final_wb(params)  # tied: E.T stays col-sharded
             n, l, d = hidden.shape
             mask = (tar_real != cfg.pad_idx).astype(jnp.float32)
-            if lkw.get("extra_masked_ids"):
-                for tid in lkw["extra_masked_ids"]:
-                    mask = mask * (tar_real != tid).astype(jnp.float32)
-            return vocab_parallel_ce(
-                hidden.reshape(-1, d), fl["kernel"], fl["bias"],
-                tar_real.reshape(-1).astype(jnp.int32), shard_offset,
-                tp_axis, mask.reshape(-1))
+            for tid in (lkw.get("extra_masked_ids") or ()):
+                mask = mask * (tar_real != tid).astype(jnp.float32)
+            return ce_mapped(hidden.reshape(-1, d).astype(jnp.float32), W,
+                             bb, tar_real.reshape(-1).astype(jnp.int32),
+                             mask.reshape(-1))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        # grad reduction: replicated params sum over BOTH axes; the
-        # tp-sharded final layer sums over dp only (each tp shard owns its
-        # slice). loss itself averages over dp.
-        def reduce_grad(path, g):
-            keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-            g = jax.lax.psum(g, dp_axis)
-            if "final_layer" not in keys:
-                g = jax.lax.psum(g, tp_axis)
-            return g
-
-        grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
-        # match the single-device mean-over-global-batch semantics
-        grads = jax.tree.map(lambda g: g / mesh.shape[dp_axis], grads)
-        loss = jax.lax.pmean(loss, dp_axis)
         return state.apply_gradients(grads), loss
 
+    def state_shardings(state):
+        def nsh(path, leaf):
+            return NamedSharding(mesh, spec_rule(path, leaf))
+
+        pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
+        ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
+        especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
+                  if state.ema_params is not None else None)
+        repl = NamedSharding(mesh, P())
+        return TrainState(step=repl, params=pspecs, opt_state=ospecs,
+                          tx=state.tx, ema_params=especs,
+                          ema_decay=state.ema_decay)
+
     def make(state):
-        sspec = state_specs(state)
-        return jax.jit(shard_map(
-            step_impl, mesh=mesh,
-            in_specs=(sspec, P(dp_axis), P(dp_axis), P(), P()),
-            out_specs=(sspec, P()),
-        ))
+        sshard = state_shardings(state)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(dp_axis))
+        return jax.jit(step,
+                       in_shardings=(sshard, data, data, repl, repl),
+                       out_shardings=(sshard, repl))
 
     return make
 
 
-def shard_tp_state(state: TrainState, mesh: Mesh,
+def shard_tp_state(state: TrainState, mesh: Mesh, cfg: Optional[Config] = None,
                    dp_axis: str = "dp", tp_axis: str = "tp") -> TrainState:
-    """Place a TrainState on the mesh: final-layer params (and their
-    optimizer moments) sharded on the vocab axis, everything else
-    replicated."""
+    """Place a TrainState on the mesh: vocab-owning params (and their
+    optimizer moments / EMA shadows) sharded on the tp axis per
+    `_vocab_param_spec`, everything else replicated. `cfg` is needed to
+    recognize the tied-embedding layout; without it only the untied
+    final_layer is sharded (back-compatible)."""
+    rule = _vocab_param_spec(
+        cfg if cfg is not None else Config(tie_embeddings=False), tp_axis)
 
     def put(path, leaf):
-        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
-        if "final_layer" in keys and hasattr(leaf, "ndim") and leaf.ndim >= 1:
-            spec = P(None, tp_axis) if leaf.ndim == 2 else P(tp_axis)
-        else:
-            spec = P()
+        spec = rule(path, leaf)
+        if spec != P() and getattr(leaf, "ndim", 0) < len(spec):
+            spec = P()  # scalar bookkeeping leaf that path-matched
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     params = jax.tree_util.tree_map_with_path(put, state.params)

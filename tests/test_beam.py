@@ -93,6 +93,62 @@ def test_beam_scores_at_least_greedy(tiny_cfg, tiny_batch):
     assert np.all(b_lp >= g_lp - 1e-4), (b_lp, g_lp)
 
 
+def test_beam_kv_matches_full_prefix(tiny_cfg, tiny_batch):
+    """The KV-cached beam (serving path) emits the SAME tokens as the
+    full-prefix beam at float32 — caches gathered along the beam axis are
+    exactly the recomputed prefixes. Trained params so the distribution
+    isn't degenerate."""
+    from deepsc_gan_tpu.evaluate.beam import make_beam_decode_kv
+
+    cfg = tiny_cfg
+    model, state = _trained(cfg, tiny_batch, steps=30)
+    for ksize in (1, 4):
+        full = make_beam_decode(model, cfg, beam_size=ksize)
+        kv = make_beam_decode_kv(model, cfg, beam_size=ksize)
+        key = jax.random.PRNGKey(11)
+        a = np.asarray(full(state.params, tiny_batch, key, 0.0, 0.2))
+        b = np.asarray(kv(state.params, tiny_batch, key, 0.0, 0.2))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_beam_kv_matches_full_prefix_tied(tiny_cfg, tiny_batch):
+    """Same parity through the tied-embedding projection layout."""
+    from deepsc_gan_tpu.evaluate.beam import make_beam_decode_kv
+
+    cfg = tiny_cfg.replace(tie_embeddings=True)
+    model, state = _trained(cfg, tiny_batch, steps=20)
+    full = make_beam_decode(model, cfg, beam_size=3)
+    kv = make_beam_decode_kv(model, cfg, beam_size=3)
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(full(state.params, tiny_batch, key, 0.0, 0.2))
+    b = np.asarray(kv(state.params, tiny_batch, key, 0.0, 0.2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_beam_kv_sweep_matches_per_point(tiny_cfg, tiny_batch):
+    """make_beam_decode_sweep == per-noise-level make_beam_decode_kv calls
+    at the same derived keys."""
+    from deepsc_gan_tpu.evaluate.beam import (
+        make_beam_decode_kv,
+        make_beam_decode_sweep,
+    )
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    sweep = make_beam_decode_sweep(model, cfg, beam_size=2)
+    single = make_beam_decode_kv(model, cfg, beam_size=2)
+    n_stds = jnp.asarray([0.5, 0.1])
+    key = jax.random.PRNGKey(9)
+    got = np.asarray(sweep(state.params, tiny_batch, key, 0.0, n_stds))
+    keys = jax.random.split(key, 2)
+    for s in range(2):
+        want = np.asarray(single(state.params, tiny_batch, keys[s], 0.0,
+                                 n_stds[s]))
+        np.testing.assert_array_equal(got[s], want)
+
+
 def test_beam_shapes_and_validity(tiny_cfg, tiny_batch):
     cfg = tiny_cfg
     model = make_model(cfg, "transformer")

@@ -61,3 +61,69 @@ def test_result_table_round_trip(tmp_path):
     path = str(tmp_path / "log" / "test.pkl")
     save_result_table(table, path)
     assert load_result_table(path) == table
+
+
+def test_bert_similarity_with_tiny_local_weights(tmp_path):
+    """Exercise the REAL BERT Similarity code path (pooling, layer
+    indexing, max-normalized cosine — evaluate/metrics.py:71-119) with a
+    tiny random-weight local checkpoint, so the offline-gated path is
+    tested without any download (VERDICT r2 item 7). With real
+    bert-base-uncased weights the same path runs unchanged — point
+    DEEPSC_BERT_PATH at them."""
+    import torch  # noqa: F401
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    from deepsc_gan_tpu.evaluate.metrics import Similarity
+
+    d = tmp_path / "tiny_bert"
+    d.mkdir()
+    # layer=11 default needs >= 12 encoder layers; keep everything tiny
+    config = BertConfig(
+        vocab_size=24, hidden_size=16, num_hidden_layers=12,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32)
+    torch.manual_seed(0)
+    BertModel(config).save_pretrained(str(d))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "the", "cat",
+             "sat", "on", "mat", "a", "dog", "ran", "fast", "hello",
+             "world"]
+    vf = d / "vocab.txt"
+    vf.write_text("\n".join(vocab) + "\n")
+    BertTokenizer(str(vf)).save_pretrained(str(d))
+
+    sim = Similarity(model_path=str(d), max_len=16)
+    real = ["the cat sat on mat", "a dog ran fast"]
+    # identical sentence lists -> identical embeddings -> cosine 1.0
+    s_same = sim.compute_score(real, list(real))
+    assert np.allclose(s_same, 1.0, atol=1e-5), s_same
+    # different sentences -> valid cosines, not all 1
+    s_diff = sim.compute_score(real, ["hello world", "the mat sat"])
+    assert all(-1.0 - 1e-6 <= x <= 1.0 + 1e-6 for x in s_diff)
+    assert not np.allclose(s_diff, 1.0)
+
+
+def test_make_scorers_picks_up_local_bert(tmp_path, monkeypatch):
+    """DEEPSC_BERT_PATH pointing at local weights auto-upgrades the
+    similarity scorer from the unigram proxy to real BERT."""
+    import torch
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    from deepsc_gan_tpu.evaluate.evaluator import make_scorers
+    from deepsc_gan_tpu.evaluate.metrics import Similarity
+
+    d = tmp_path / "tiny_bert"
+    d.mkdir()
+    config = BertConfig(
+        vocab_size=16, hidden_size=16, num_hidden_layers=12,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32)
+    torch.manual_seed(0)
+    BertModel(config).save_pretrained(str(d))
+    vf = d / "vocab.txt"
+    vf.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                             "the", "cat"]) + "\n")
+    BertTokenizer(str(vf)).save_pretrained(str(d))
+
+    monkeypatch.setenv("DEEPSC_BERT_PATH", str(d))
+    scorers = make_scorers("similarity")
+    assert isinstance(scorers[0][1], Similarity)

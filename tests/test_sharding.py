@@ -76,6 +76,94 @@ def test_dp_train_step_loss_decreases(tiny_cfg, tiny_batch):
     assert losses[-1] < losses[0]
 
 
+def test_dp_attack_step_matches_single_device(tiny_cfg, tiny_batch):
+    """FGM adversarial training scales data-parallel: the GSPMD attack
+    step (global-norm FGM included) matches the single-device step."""
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_attack_step(model, cfg)
+    s1, (c1, a1) = single(state, batch, batch, jax.random.PRNGKey(3),
+                          0.0, 0.1, 1.0)
+
+    mesh = local_mesh(8)
+    par = make_parallel_attack_step(model, cfg, mesh)
+    b_sh = shard_batch(batch, mesh)
+    s2, (c2, a2) = par(replicate(state, mesh), b_sh, b_sh,
+                       jax.random.PRNGKey(3), 0.0, 0.1, 1.0)
+    assert np.isclose(float(c1), float(c2), rtol=1e-5)
+    assert np.isclose(float(a1), float(a2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_gan_step_matches_single_device(tiny_cfg, tiny_batch):
+    """GAN 3-phase training scales data-parallel: the GSPMD step (shared
+    Adam, filtered apply) matches the single-device step."""
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_gan_step
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "gan")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8, traingan=True)
+
+    single = make_gan_train_step(model, cfg)
+    s1, (l1, g1, d1) = single(state, batch, batch, jax.random.PRNGKey(3),
+                              0.1)
+
+    mesh = local_mesh(8)
+    par = make_parallel_gan_step(model, cfg, mesh)
+    b_sh = shard_batch(batch, mesh)
+    s2, (l2, g2, d2) = par(replicate(state, mesh), b_sh, b_sh,
+                           jax.random.PRNGKey(3), 0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    assert np.isclose(float(g1), float(g2), rtol=1e-5)
+    assert np.isclose(float(d1), float(d2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_mine_step_matches_single_device(tiny_cfg, tiny_batch):
+    """MINE joint training scales data-parallel: the marginal-sample
+    permutation crosses shards, so the global-batch MI matches."""
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_mine_step
+    from deepsc_gan_tpu.train.mine_steps import (
+        create_mine_state,
+        make_mine_train_step,
+    )
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    mine, mine_state = create_mine_state(cfg, jax.random.PRNGKey(1),
+                                         batch_size=8)
+
+    single = make_mine_train_step(model, mine, cfg)
+    s1, m1, (c1, i1) = single(state, mine_state, batch, batch,
+                              jax.random.PRNGKey(3), 0.1)
+
+    mesh = local_mesh(8)
+    par = make_parallel_mine_step(model, mine, cfg, mesh)
+    b_sh = shard_batch(batch, mesh)
+    s2, m2, (c2, i2) = par(replicate(state, mesh),
+                           replicate(mine_state, mesh), b_sh, b_sh,
+                           jax.random.PRNGKey(3), 0.1)
+    assert np.isclose(float(c1), float(c2), rtol=1e-5)
+    assert np.isclose(float(i1), float(i2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_snr_sweep_sharded(tiny_cfg, tiny_batch):
     """8 SNR points evaluated in one call, sharded over the snr axis."""
     cfg = tiny_cfg

@@ -1,5 +1,6 @@
 """Vocab-parallel (tp) training: CE parity with the single-device loss and
-a full (dp, tp) mesh step matching the unsharded step."""
+full (dp, tp) mesh steps — including the flagship tied+smoothed recipe —
+matching the unsharded step."""
 
 import jax
 import jax.numpy as jnp
@@ -17,9 +18,13 @@ from deepsc_gan_tpu.parallel.tensor_parallel import (
 from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
 
 
+def _tp_mesh(dp, tp):
+    return make_mesh(dp=dp, snr=tp, axis_names=("tp", "dp"))
+
+
 def test_vocab_parallel_ce_matches_dense():
     """Run vocab_parallel_ce under shard_map on a tp=4 mesh and compare to
-    the dense CE."""
+    the dense CE — plain and label-smoothed."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -35,48 +40,68 @@ def test_vocab_parallel_ce_matches_dense():
     labels = jax.random.randint(jax.random.PRNGKey(3), (n,), 0, v)
     mask = jnp.ones((n,), jnp.float32)
 
-    def impl(h, W, b, labels, mask):
-        off = jax.lax.axis_index("tp") * (v // 4)
-        return vocab_parallel_ce(h, W, b, labels, off, "tp", mask)
+    for alpha in (0.0, 0.1):
+        def impl(h, W, b, labels, mask):
+            off = jax.lax.axis_index("tp") * (v // 4)
+            return vocab_parallel_ce(h, W, b, labels, off, "tp", mask,
+                                     label_smoothing=alpha, vocab_total=v)
 
-    sharded = jax.jit(shard_map(
-        impl, mesh=mesh,
-        in_specs=(P(), P(None, "tp"), P("tp"), P(), P()),
-        out_specs=P()))
-    got = float(sharded(h, W, b, labels, mask))
-    want = float(loss_function(labels[None], (h @ W + b)[None]))
-    assert np.isclose(got, want, atol=1e-5)
+        sharded = jax.jit(shard_map(
+            impl, mesh=mesh,
+            in_specs=(P(), P(None, "tp"), P("tp"), P(), P()),
+            out_specs=P(), check_vma=False))
+        got = float(sharded(h, W, b, labels, mask))
+        want = float(loss_function(labels[None], (h @ W + b)[None],
+                                   label_smoothing=alpha))
+        assert np.isclose(got, want, atol=1e-5), alpha
 
 
 def test_tp_train_step_matches_single_device(tiny_cfg, tiny_batch):
+    """The (dp=1, tp=2) step is the SAME program as the single-device step
+    at the same global key (GSPMD forward + explicit-collective CE), so
+    loss and updated params must agree to reduction-order tolerance."""
     cfg = tiny_cfg.replace(bs=8, vocab_size=40)  # 40 % tp=2 == 0
     batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                batch_size=8)
 
-    # single-device (fused CE) baseline
     single = make_train_step(model, cfg)
     s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
 
-    # dp=1 tp=2: same data, sharded vocab — must agree with single device
-    mesh = make_mesh(dp=1, snr=2, axis_names=("tp", "dp"))
-    state_tp = shard_tp_state(state, mesh)
+    mesh = _tp_mesh(1, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
     step = make_tp_train_step(model, cfg, mesh)(state)
     s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3), 0.1)
-    # the tp step folds the dp index into the key, so channel noise differs
-    # from the single-device run; compare loss magnitudes only loosely and
-    # check exact internal consistency below
-    assert np.isfinite(float(l2))
-
-    # consistency: tp=2 vs tp=1 on the SAME sharded-step code path and keys
-    mesh1 = make_mesh(dp=1, snr=1, axis_names=("tp", "dp"))
-    state_tp1 = shard_tp_state(state, mesh1)
-    step1 = make_tp_train_step(model, cfg, mesh1)(state)
-    s3, l3 = step1(state_tp1, batch, batch, jax.random.PRNGKey(3), 0.1)
-    assert np.isclose(float(l2), float(l3), rtol=1e-5)
-    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s3.params)):
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_flagship_recipe_matches_single_device(tiny_cfg, tiny_batch):
+    """Round-2 gates lifted: tied embeddings + label smoothing run through
+    the (dp=2, tp=2) mesh and match the single-device step at the same
+    key (VERDICT r2 item 3)."""
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40, tie_embeddings=True,
+                           label_smoothing=0.1)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_step(model, cfg)
+    s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+
+    mesh = _tp_mesh(2, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_train_step(model, cfg, mesh)(state)
+    s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3), 0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the tied table (the sharded param) must actually be tp-sharded
+    E = s2.params["semantic_decoder"]["embed"]["embedding"]["embedding"]
+    assert "tp" in str(E.sharding.spec)
 
 
 def test_tp_dp_combined(tiny_cfg, tiny_batch):
@@ -86,8 +111,8 @@ def test_tp_dp_combined(tiny_cfg, tiny_batch):
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                batch_size=8)
-    mesh = make_mesh(dp=2, snr=2, axis_names=("tp", "dp"))
-    state_tp = shard_tp_state(state, mesh)
+    mesh = _tp_mesh(2, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
     step = make_tp_train_step(model, cfg, mesh)(state)
     losses = []
     key = jax.random.PRNGKey(0)
@@ -98,32 +123,24 @@ def test_tp_dp_combined(tiny_cfg, tiny_batch):
     assert losses[-1] < losses[0]
 
 
-def test_tp_rejects_tied_and_smoothed_configs(tiny_cfg):
-    import pytest
-    from deepsc_gan_tpu.parallel.mesh import make_mesh
-    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_train_step
-    from deepsc_gan_tpu.models.transceiver import make_model
-
-    mesh = make_mesh(dp=2, snr=2, axis_names=("tp", "dp"))
-    cfg = tiny_cfg.replace(tie_embeddings=True)
-    with pytest.raises(ValueError, match="tie_embeddings"):
+def test_tp_rejects_indivisible_vocab(tiny_cfg):
+    mesh = _tp_mesh(2, 2)
+    cfg = tiny_cfg.replace(vocab_size=41)
+    with pytest.raises(ValueError, match="vocab"):
         make_tp_train_step(make_model(cfg, "transformer"), cfg, mesh)
-    cfg2 = tiny_cfg.replace(label_smoothing=0.1)
-    with pytest.raises(ValueError, match="label_smoothing"):
-        make_tp_train_step(make_model(cfg2, "transformer"), cfg2, mesh)
 
 
 def test_tp_step_with_ema_enabled(tiny_cfg, tiny_batch):
     """cfg.ema_decay > 0 must not break the tp step: the EMA shadow rides
-    the state pytree through shard_tp_state and the shard_map specs."""
+    the state pytree through shard_tp_state and the jit shardings."""
     cfg = tiny_cfg.replace(bs=8, vocab_size=40, ema_decay=0.9)
     batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
     model = make_model(cfg, "transformer")
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                batch_size=8)
     assert state.ema_params is not None
-    mesh = make_mesh(dp=1, snr=2, axis_names=("tp", "dp"))
-    state_tp = shard_tp_state(state, mesh)
+    mesh = _tp_mesh(1, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
     step = make_tp_train_step(model, cfg, mesh)(state)
     s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3), 0.1)
     assert np.isfinite(float(l2))
