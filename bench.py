@@ -60,7 +60,8 @@ def bench_batch(batch_size: int, scan_k: int, steps: int, reps: int,
     if cfg is None:
         cfg = Config(bs=batch_size, dtype=dtype)
     model = make_model(cfg, "transformer")
-    key = jax.random.PRNGKey(0)
+    from deepsc_gan_tpu.train.steps import make_step_key
+    key = make_step_key(cfg, 0)
     state = create_train_state(model, cfg, key)
     # the framework's fast path: K train steps per dispatch via lax.scan
     # (bit-identical sequential Adam semantics; amortizes host->device
@@ -212,8 +213,10 @@ def bench_model_scale(d_model: int, layers: int, batch: int, scan_k: int,
     where the MXU, not dispatch/HBM, should bind. Returns the row dict."""
     from deepsc_gan_tpu.utils.config import Config
 
+    # rbg RNG: at this scale threefry dropout-mask generation is ~45% of
+    # the step (results/profile_d256.json) — rbg is the production choice
     cfg = Config(
-        bs=batch, dtype=dtype,
+        bs=batch, dtype=dtype, rng_impl="rbg",
         encoder_d_model=d_model, decoder_d_model=d_model,
         encoder_d_ff=4 * d_model, decoder_d_ff=4 * d_model,
         encoder_num_layer=layers, decoder_num_layer=layers)
@@ -364,7 +367,7 @@ def main() -> None:
     if args.model_scale:
         rows = {}
         for d, layers, b, k in ((256, 6, 512, 8), (512, 6, 512, 4),
-                                (512, 6, 1024, 4)):
+                                (768, 6, 512, 2)):
             rows[f"d{d}_L{layers}_B{b}"] = bench_model_scale(
                 d, layers, b, k, 2, args.reps, 1, args.dtype)
         out["model_scaling"] = rows

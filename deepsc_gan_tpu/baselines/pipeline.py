@@ -31,11 +31,22 @@ def classical_sweep(
     seed: int = 0,
     verbose: bool = True,
     include_attacked: bool = True,
+    coding: str = "turbo",
 ) -> list[list[float]]:
     """-> rows [snr, bleu_attacked, bleu_clean] over the SNR sweep.
     `include_attacked=False` skips the attacked column (half the decode
     work — used by the calibration grid, scripts/calibrate_classical.py)
-    and emits [snr, nan, bleu_clean] rows."""
+    and emits [snr, nan, bleu_clean] rows.
+
+    `coding="none"` transmits the Huffman bits UNCODED (hard-decision
+    demap, no turbo): the calibration finding
+    (results/classical_calibration.json) is that the reference's
+    `log.pkl` clean curve — gradual over 12+ dB — is numerically
+    consistent with uncoded 64-QAM + Huffman resynchronization and
+    inconsistent with ANY blockwise turbo config (threshold codes cliff
+    over 1-3 dB)."""
+    if coding not in ("turbo", "none"):
+        raise ValueError(f"coding must be 'turbo' or 'none', got {coding}")
     words = [s.split() for s in sentences]
     huff = HuffmanCodec(words)
     enc = [huff.encode(w) for w in words]
@@ -52,13 +63,18 @@ def classical_sweep(
     flat = np.zeros((len(enc), block_k), dtype=np.uint8)
     for i, b in enumerate(enc):
         flat[i, : len(b)] = b
-    tc = TurboCodec(block_k=block_k, iters=iters, seed=seed)
-    sym, n_total = tc.encode(flat.ravel())
-    coded_bits = (sym < 0).astype(np.uint8)  # (3, n_sent, K)
     modem = QamModem(mod_bits)
-    tx = modem.modulate(coded_bits)
+    if coding == "none":
+        tc = None
+        n_total = flat.size
+        tx = modem.modulate(flat.ravel())
+    else:
+        tc = TurboCodec(block_k=block_k, iters=iters, seed=seed)
+        sym, n_total = tc.encode(flat.ravel())
+        coded_bits = (sym < 0).astype(np.uint8)  # (3, n_sent, K)
+        tx = modem.modulate(coded_bits)
     if verbose:
-        print(f"{coded_bits.size} coded bits -> {len(tx)} QAM symbols",
+        print(f"coding={coding}: {n_total} bits -> {len(tx)} QAM symbols",
               flush=True)
 
     bleu = BleuScore(1, 0, 0, 0)
@@ -83,8 +99,13 @@ def classical_sweep(
                 safe = np.where(np.abs(tx) > 0, np.abs(tx), 1.0)
                 y = y - amp * tx / safe
             llr_flat = modem.llr(y, sigma)
-            llr = llr_flat[: coded_bits.size].reshape(coded_bits.shape)
-            dec = tc.decode(llr, n_total).reshape(len(enc), block_k)
+            if coding == "none":
+                # hard decision: LLR > 0 means bit 0 (modem convention)
+                dec = (llr_flat[: flat.size] < 0).astype(
+                    np.uint8).reshape(len(enc), block_k)
+            else:
+                llr = llr_flat[: coded_bits.size].reshape(coded_bits.shape)
+                dec = tc.decode(llr, n_total).reshape(len(enc), block_k)
             hyps = [" ".join(huff.decode(dec[i, : n_bits[i]]))
                     for i in range(len(enc))]
             scores[attacked] = float(np.mean(

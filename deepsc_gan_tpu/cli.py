@@ -122,7 +122,8 @@ def cmd_train(args) -> None:
         from deepsc_gan_tpu.parallel.mesh import initialize_distributed
         initialize_distributed()
 
-    key = jax.random.PRNGKey(args.seed)
+    from deepsc_gan_tpu.train.steps import make_step_key
+    key = make_step_key(cfg, args.seed)
     model = make_model(cfg, variant)
     init_kw = {"traingan": True} if variant == "gan" else {}
     state = create_train_state(model, cfg, key, **init_kw)

@@ -117,12 +117,13 @@ class Transceiver(_TransceiverBase):
         self.semantic_encoder = Encoder(
             cfg.encoder_num_layer, cfg.encoder_num_heads, cfg.encoder_d_model,
             cfg.encoder_d_ff, cfg.vocab_size, cfg.encoder_dropout,
-            cfg.ffn_mode, dtype=dtype, param_dtype=param_dtype)
+            cfg.ffn_mode, remat=cfg.remat, dtype=dtype,
+            param_dtype=param_dtype)
         self.semantic_decoder = Decoder(
             cfg.decoder_num_layer, cfg.decoder_d_model, cfg.decoder_num_heads,
             cfg.decoder_d_ff, cfg.vocab_size, cfg.decoder_dropout,
             cfg.ffn_mode, tie_embeddings=cfg.tie_embeddings,
-            dtype=dtype, param_dtype=param_dtype)
+            remat=cfg.remat, dtype=dtype, param_dtype=param_dtype)
         self.channel_encoder = ChannelEncoder(
             cfg.channel_hidden, cfg.channel_dim, dtype=dtype,
             param_dtype=param_dtype)
@@ -197,12 +198,13 @@ class TransceiverGAN(_TransceiverBase):
         self.semantic_encoder = Encoder(
             cfg.encoder_num_layer, cfg.encoder_num_heads, cfg.encoder_d_model,
             cfg.encoder_d_ff, cfg.vocab_size, cfg.encoder_dropout,
-            cfg.ffn_mode, dtype=dtype, param_dtype=param_dtype)
+            cfg.ffn_mode, remat=cfg.remat, dtype=dtype,
+            param_dtype=param_dtype)
         self.semantic_decoder = Decoder(
             cfg.decoder_num_layer, cfg.decoder_d_model, cfg.decoder_num_heads,
             cfg.decoder_d_ff, cfg.vocab_size, cfg.decoder_dropout,
             cfg.ffn_mode, tie_embeddings=cfg.tie_embeddings,
-            dtype=dtype, param_dtype=param_dtype)
+            remat=cfg.remat, dtype=dtype, param_dtype=param_dtype)
         self.generator = Generator(cfg.channel_hidden, cfg.channel_dim,
                                    dtype=dtype, param_dtype=param_dtype)
         self.channel_encoder = ChannelEncoder(

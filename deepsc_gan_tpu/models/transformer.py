@@ -138,6 +138,20 @@ class TokenEmbed(nn.Module):
         return self.embedding.embedding
 
 
+def _maybe_remat(layer_call, remat: bool, deterministic: bool):
+    """Optionally wrap a layer invocation in nn.remat (jax.checkpoint):
+    the layer's intermediates are recomputed in the backward instead of
+    round-tripping HBM — a net win once training is bandwidth-bound
+    (Config.remat). `deterministic` is closed over as a static value."""
+    if not remat:
+        return layer_call
+
+    def run(mdl, *xs):
+        return layer_call(mdl, *xs)
+
+    return nn.remat(run, prevent_cse=False)
+
+
 class Encoder(nn.Module):
     """Embedding prologue + N x EncoderLayer (reference Encoder,
     modules.py:471-511)."""
@@ -150,6 +164,7 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     ffn_mode: str = "mlp"
     max_position: int = 512
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -158,12 +173,16 @@ class Encoder(nn.Module):
         x = TokenEmbed(self.vocab_size, self.d_model, self.dropout,
                        self.max_position, self.dtype, self.param_dtype,
                        name="embed")(tokens, deterministic=deterministic)
+        run = _maybe_remat(
+            lambda mdl, x, mask: mdl(x, mask, deterministic=deterministic),
+            self.remat, deterministic)
         for i in range(self.num_layers):
-            x = EncoderLayer(self.d_model, self.num_heads, self.dff,
-                             self.dropout, self.ffn_mode,
-                             dtype=self.dtype, param_dtype=self.param_dtype,
-                             name=f"layer{i}")(x, mask,
-                                               deterministic=deterministic)
+            layer = EncoderLayer(self.d_model, self.num_heads, self.dff,
+                                 self.dropout, self.ffn_mode,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name=f"layer{i}")
+            x = run(layer, x, mask)
         return x
 
 
@@ -183,6 +202,7 @@ class Decoder(nn.Module):
     ffn_mode: str = "mlp"
     max_position: int = 512
     tie_embeddings: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -213,9 +233,12 @@ class Decoder(nn.Module):
     def __call__(self, tokens, enc_output, look_ahead_mask, padding_mask,
                  *, deterministic: bool = True, apply_final: bool = True):
         x = self.embed(tokens, deterministic=deterministic)
+        run = _maybe_remat(
+            lambda mdl, x, mem, lam, pm: mdl(
+                x, mem, lam, pm, deterministic=deterministic),
+            self.remat, deterministic)
         for layer in self.layers:
-            x = layer(x, enc_output, look_ahead_mask, padding_mask,
-                      deterministic=deterministic)
+            x = run(layer, x, enc_output, look_ahead_mask, padding_mask)
         if apply_final:
             x = self.final_projection(x)
         return x

@@ -23,8 +23,9 @@ Numerics: f32 accumulation and softmax arithmetic throughout. Matmul
 OPERANDS keep the activation dtype: with bf16 hidden states the chunk
 matmuls run bf16 x bf16 -> f32 at full MXU rate (the standard
 mixed-precision contract; f32 operands behave exactly as before). Tiles
-default (256, 2048): VMEM high-water ~3.5 MB per program (~16 MB/core
-available).
+default (512, 2048): VMEM high-water ~7 MB per program (~16 MB/core
+available) — the 512-row tile halves how many times the (D, V) table
+re-streams from HBM vs 256 (W traffic = V*D*2B per row tile).
 
 Mode control mirrors ops/pallas/star.py: "auto" picks the kernels on TPU
 and the lax.scan path elsewhere; "interpret" runs these kernels in
@@ -272,11 +273,25 @@ def _pallas_ce_bwd(h, W, b, labels, lse, g, tn, tv, interpret):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def pallas_softmax_xent(h, W, b, labels, tn: int = 256, tv: int = 2048):
+def pallas_softmax_xent(h, W, b, labels, tn: int = 0, tv: int = 0):
     """Per-row CE via the Pallas kernels. h: (N, D); W: (D, V); b: (V,);
-    labels: (N,) -> (N,) f32."""
+    labels: (N,) -> (N,) f32. tn=0 picks the row tile from D so the dW
+    kernel's live blocks (dw f32 (D,TV) + logits f32 (TN,TV) + operands)
+    stay under the ~16 MB scoped-VMEM limit: 512 rows at D<=256, 256
+    beyond (bigger row tiles halve how often the vocab table re-streams
+    from HBM)."""
     ce, _ = _fwd_dispatch(h, W, b, labels, tn, tv)
     return ce
+
+
+def _pick_tn(tn: int, d: int) -> int:
+    return tn if tn else (512 if d <= 256 else 256)
+
+
+def _pick_tv(tv: int, d: int) -> int:
+    # the dW kernel holds dw f32 (D, TV) + logits f32 (TN, TV) + double-
+    # buffered operands in scoped VMEM; shrink the vocab tile at large D
+    return tv if tv else (2048 if d <= 256 else 1024)
 
 
 def _op_dtype(h):
@@ -287,6 +302,8 @@ def _op_dtype(h):
 
 def _fwd_dispatch(h, W, b, labels, tn, tv):
     interp = ce_kernel_mode() == "interpret"
+    tn = _pick_tn(tn, h.shape[1])
+    tv = _pick_tv(tv, h.shape[1])
     od = _op_dtype(h)
     return _pallas_ce_fwd(h.astype(od), W.astype(od),
                           b.astype(jnp.float32),
@@ -301,6 +318,8 @@ def _op_fwd(h, W, b, labels, tn, tv):
 def _op_bwd(tn, tv, res, g):
     h, W, b, labels, lse = res
     interp = ce_kernel_mode() == "interpret"
+    tn = _pick_tn(tn, h.shape[1])
+    tv = _pick_tv(tv, h.shape[1])
     od = _op_dtype(h)
     dh, dW, db = _pallas_ce_bwd(
         h.astype(od), W.astype(od),

@@ -93,6 +93,18 @@ def create_train_state(model, cfg: Config, key,
                       ema_params=ema, ema_decay=cfg.ema_decay)
 
 
+def make_step_key(cfg: Config, seed: int):
+    """Root PRNG key honoring cfg.rng_impl. "threefry" returns the legacy
+    raw key (bit-compatible with rounds 1-2); other impls return a typed
+    key array that carries its implementation through split/fold_in —
+    "rbg" trades the splittable-stream guarantees for the hardware
+    generator (the profiled production choice at compute-bound scale,
+    utils/config.py:rng_impl)."""
+    if cfg.rng_impl == "threefry":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=cfg.rng_impl)
+
+
 def _shift_targets(tar):
     return tar[:, :-1], tar[:, 1:]
 

@@ -119,6 +119,21 @@ class Config:
     # --- compute
     dtype: str = "bfloat16"      # activations dtype on TPU
     param_dtype: str = "float32"
+    # PRNG implementation for the training step's key (dropout masks +
+    # channel noise). "threefry" is JAX's default splittable PRNG;
+    # profiling at compute-bound scale (results/profile_d256.json) shows
+    # its mask generation dominating the step (~45% in elementwise
+    # fusions), so "rbg" (XLA's RngBitGenerator — same API, hardware
+    # generator, identical distributions, different stream) is the
+    # production choice at scale. Reproducibility at a fixed seed holds
+    # within an impl, not across impls.
+    rng_impl: str = "threefry"   # "threefry" | "rbg" | "unsafe_rbg"
+    # rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint / nn.remat): trades ~1/3 more layer FLOPs for not
+    # round-tripping the fwd intermediates through HBM — a throughput WIN
+    # once the step is bandwidth-bound (profiled at d_model>=256,
+    # results/mfu_ablation.json). Default off = reference-exact autodiff.
+    remat: bool = False
     # fused vocab-projection+CE (ops/fused_ce.py): streams the 22k-vocab
     # softmax over chunks instead of materializing (B,L,V) logits — the
     # train step is HBM-bound on that tensor. Same numerics to ~1e-5.

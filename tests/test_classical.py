@@ -147,3 +147,24 @@ def test_end_to_end_sentence_pipeline():
     dec = tc.decode(llr, n).reshape(len(enc), k)
     for i, w in enumerate(words):
         assert h.decode(dec[i, : len(enc[i])]) == list(w)
+
+
+def test_uncoded_pipeline_gradual_curve():
+    """coding="none" (the calibration finding's closest match to the
+    reference log.pkl shape): runs end-to-end, monotone-ish clean BLEU,
+    high-SNR near-perfect, and a WIDER transition than turbo (threshold
+    codes cliff; uncoded degrades per-word)."""
+    from deepsc_gan_tpu.baselines.pipeline import classical_sweep
+
+    sents = ["the cat sat on the mat", "a dog ran fast today",
+             "the house rose and observed silence",
+             "this is all in accordance with the principles"] * 10
+    rows = classical_sweep(sents, [0.0, 9.0, 18.0], mod_bits=4,
+                           coding="none", verbose=False,
+                           include_attacked=False)
+    clean = [r[2] for r in rows]
+    assert clean[2] > 0.95          # high SNR: near-perfect
+    assert clean[0] < clean[2]      # degrades with noise
+    # uncoded at mid SNR sits strictly BETWEEN floor and ceiling — the
+    # gradual-transition signature (turbo at the same point is ~0 or ~1)
+    assert 0.05 < clean[1] < 0.95

@@ -194,3 +194,49 @@ def test_ema_params_track_and_scan(tiny_cfg, tiny_batch):
                             jax.random.PRNGKey(0), batch_size=tiny_cfg.bs)
     assert s0.ema_params is None
     assert eval_params(s0) is s0.params
+
+
+def test_remat_step_matches_exact(tiny_cfg, tiny_batch):
+    """Config.remat recomputes layer activations in the backward — the
+    update must be bit-equal to the standard step (same program semantics,
+    jax.checkpoint only changes scheduling)."""
+    import numpy as np
+
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+
+    m1 = make_model(tiny_cfg, "transformer")
+    s1 = create_train_state(m1, tiny_cfg, jax.random.PRNGKey(0))
+    cfg2 = tiny_cfg.replace(remat=True)
+    m2 = make_model(cfg2, "transformer")
+    s2 = create_train_state(m2, cfg2, jax.random.PRNGKey(0))
+    st1, l1 = make_train_step(m1, tiny_cfg)(s1, tiny_batch, tiny_batch,
+                                            jax.random.PRNGKey(3), 0.1)
+    st2, l2 = make_train_step(m2, cfg2)(s2, tiny_batch, tiny_batch,
+                                        jax.random.PRNGKey(3), 0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_rbg_rng_impl_trains(tiny_cfg, tiny_batch):
+    """Config.rng_impl="rbg" (the profiled production RNG at scale) flows
+    through key creation, dropout and channel noise; loss decreases."""
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import (
+        create_train_state,
+        make_step_key,
+        make_train_step,
+    )
+
+    cfg = tiny_cfg.replace(rng_impl="rbg")
+    key = make_step_key(cfg, 0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, key)
+    step = make_train_step(model, cfg)
+    losses = []
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, tiny_batch, tiny_batch, sub, 0.05)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
