@@ -144,6 +144,42 @@ def _fused_bwd(chunk, res, g):
 fused_softmax_xent.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def hybrid_softmax_xent(h, W, b, labels, chunk: int = 2048):
+    """Pallas online-softmax FORWARD + lax.scan BACKWARD — the production
+    CE path at dispatching row counts. Measured on v5e (fwd+bwd of the
+    mean CE, vocab 22,234, bf16 operands, dispatch-amortized):
+
+        D=128/N=7680:  hybrid 4.05 ms  vs scan 4.28  vs all-Pallas 4.74
+        D=512/N=15360: hybrid 11.99    vs scan 13.57 vs all-Pallas 13.33
+        D=768/N=15360: hybrid 16.28    vs scan 17.87 vs all-Pallas 18.56
+
+    Why this split wins: the Pallas forward keeps chunk logits in VMEM
+    with one (TN,1) accumulator write-back per row tile, while the
+    all-Pallas backward pays TWO logits recomputes (separate dh and
+    dW/db kernels); the scan backward computes dh and dW/db in ONE
+    recompute pass. Forward tiles are fixed (512, 2048) — without the
+    dW kernel's (D, TV) f32 output block the forward fits scoped VMEM
+    at every model width benched (D<=768; tv drops to 1024 beyond)."""
+    ce, _ = _hybrid_fwd_dispatch(h, W, b, labels)
+    return ce
+
+
+def _hybrid_fwd_dispatch(h, W, b, labels):
+    from deepsc_gan_tpu.ops.pallas.ce import _fwd_dispatch
+
+    tv = 2048 if h.shape[1] <= 768 else 1024
+    return _fwd_dispatch(h, W, b, labels, 512, tv)
+
+
+def _hybrid_fwd(h, W, b, labels, chunk):
+    ce, lse = _hybrid_fwd_dispatch(h, W, b, labels)
+    return ce, (h, W, b, labels, lse)
+
+
+hybrid_softmax_xent.defvjp(_hybrid_fwd, _fused_bwd)
+
+
 def fused_ce_loss(
     hidden: jnp.ndarray,
     W: jnp.ndarray,
@@ -170,13 +206,16 @@ def fused_ce_loss(
     bsz, length, dim = hidden.shape
     flat_labels = real.reshape(-1).astype(jnp.int32)
     mode = ce_kernel_mode()
-    # measured on v5e: the lax.scan path edges out the Pallas kernels at
-    # small N (XLA pipelines the scan well); the kernels win once chunk
-    # logits would spill VMEM — dispatch by row count under "auto"-pallas
-    use_kernel = mode == "interpret" or (
-        mode == "pallas" and bsz * length >= 4096)
-    if use_kernel:
+    # measured on v5e (see hybrid_softmax_xent): the scan path edges out
+    # everything at small N (XLA pipelines the scan well; flagship
+    # B=64*L=30=1920 rows); from ~4096 rows the HYBRID (Pallas fwd +
+    # scan bwd) is fastest at every model width. "interpret" keeps the
+    # full Pallas kernels (incl. the bwd kernels) under test on CPU.
+    if mode == "interpret":
         ce = pallas_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels)
+    elif mode == "pallas" and bsz * length >= 4096:
+        ce = hybrid_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels,
+                                 chunk)
     else:
         ce = fused_softmax_xent(hidden.reshape(-1, dim), W, b, flat_labels,
                                 chunk)

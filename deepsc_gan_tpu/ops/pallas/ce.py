@@ -27,6 +27,15 @@ default (512, 2048): VMEM high-water ~7 MB per program (~16 MB/core
 available) — the 512-row tile halves how many times the (D, V) table
 re-streams from HBM vs 256 (W traffic = V*D*2B per row tile).
 
+Production note (measured v5e, round 3): the FORWARD kernel is the fast
+half; the two-kernel backward pays a second logits recompute that the
+lax.scan backward (one pass producing dh AND dW/db) avoids. The shipped
+fast path is therefore `ops.fused_ce.hybrid_softmax_xent` — this
+forward + the scan backward — which beats both all-Pallas and all-scan
+at every benched width (numbers in its docstring). The backward kernels
+here remain correct, interpret-tested, and selectable via
+`set_ce_kernel_mode`.
+
 Mode control mirrors ops/pallas/star.py: "auto" picks the kernels on TPU
 and the lax.scan path elsewhere; "interpret" runs these kernels in
 interpreter mode for CPU tests.

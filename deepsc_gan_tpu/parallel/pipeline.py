@@ -1,0 +1,392 @@
+"""Pipeline-parallel (GPipe) training over a ("pp", "dp") mesh.
+
+The reference is single-device (SURVEY.md §2: zero distributed code); dp
+and vocab-tp layers exist in parallel/sharding.py / tensor_parallel.py.
+This module adds the third classic axis: INTER-LAYER pipeline parallelism,
+so the framework covers dp x tp x pp and deep configs whose layer stacks
+exceed one chip's HBM can train.
+
+TPU-native design — the shard_map + ppermute microbatch schedule (the
+"How to Scale Your Model" pipelining recipe), not a graph-partitioner:
+
+  - The transceiver's two homogeneous layer stacks (N x EncoderLayer,
+    N x DecoderLayer — models/transformer.py) are STACKED along a leading
+    layer axis and sharded over the mesh's `pp` axis: each device group
+    owns n_layers/pp consecutive layers of BOTH stacks (and their Adam
+    moments — the dominant per-layer memory), applied via `lax.scan` over
+    the local slice.
+  - The forward runs as two chained GPipe loops inside `shard_map`:
+    microbatches enter stage 0, `lax.ppermute` carries activations
+    stage i -> i+1 each tick, stage pp-1 accumulates outputs. A pipeline
+    of S stages and M microbatches fills in S-1 ticks, so the bubble
+    fraction is (S-1)/(M+S-1) per stack.
+  - Everything OUTSIDE the stacks — token embeddings, channel
+    encoder/decoder + channel sim, final projection + fused CE — is tiny
+    (HBM and FLOPs both dominated by the stacks at depth) and runs
+    replicated over pp / GSPMD-sharded over dp between the two loops.
+  - The backward is jax.grad through the whole thing: ppermute transposes
+    to the reverse permute, so the backward pipeline runs automatically
+    in the opposite direction with the same schedule.
+  - `dp` composes orthogonally: microbatch rows are sharded over `dp`
+    inside the same shard_map (the pipeline is row-independent), and the
+    gradient all-reduce over dp is inserted by GSPMD outside.
+
+Numerics: with dropout=0 the pp step computes exactly the single-device
+program per microbatch (same channel key, same masks), so its loss matches
+make_train_step to reduction-order tolerance (tested in
+tests/test_pipeline.py). With dropout>0 the dropout STREAMS differ from
+the flax single-device step (per-layer fold_in keys instead of flax's
+module-order split) — statistically equivalent, documented here.
+
+Vanilla transformer transceiver only (the star codecs are not a
+homogeneous layer chain; they scale via dp/tp)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepsc_gan_tpu.models.channel import (
+    ChannelDecoder,
+    ChannelEncoder,
+    channel as channel_fn,
+)
+from deepsc_gan_tpu.models.transformer import (
+    DecoderLayer,
+    EncoderLayer,
+    TokenEmbed,
+)
+from deepsc_gan_tpu.ops.fused_ce import fused_ce_loss
+from deepsc_gan_tpu.ops.masks import create_masks
+from deepsc_gan_tpu.train.steps import (
+    TrainState,
+    _final_wb,
+    _loss_kwargs,
+    _shift_targets,
+    _step_noise,
+    create_train_state,
+)
+from deepsc_gan_tpu.utils.config import Config
+
+
+# --------------------------------------------------------------------------
+# param layout: standard layer{i} subtrees <-> stacked (L, ...) pytrees
+# --------------------------------------------------------------------------
+
+def to_pp_params(params: dict, cfg: Config) -> dict:
+    """Standard param tree -> pipeline layout:
+    {"enc_stack": (Ne, ...) tree, "dec_stack": (Nd, ...) tree,
+     "rest": everything else (embeds, channel codecs, final proj)}."""
+    enc = params["semantic_encoder"]
+    dec = params["semantic_decoder"]
+    enc_layers = [enc[f"layer{i}"] for i in range(cfg.encoder_num_layer)]
+    dec_layers = [dec[f"layer{i}"] for i in range(cfg.decoder_num_layer)]
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    rest = {
+        "semantic_encoder": {"embed": enc["embed"]},
+        "semantic_decoder": {k: v for k, v in dec.items()
+                             if not k.startswith("layer")},
+        "channel_encoder": params["channel_encoder"],
+        "channel_decoder": params["channel_decoder"],
+    }
+    return {"enc_stack": stack(enc_layers), "dec_stack": stack(dec_layers),
+            "rest": rest}
+
+
+def from_pp_params(pp: dict, cfg: Config) -> dict:
+    """Inverse of to_pp_params — back to the standard layout (for
+    checkpoints, eval, and the greedy/beam decoders)."""
+    out = jax.tree.map(lambda x: x, pp["rest"])  # shallow copy
+    for i in range(cfg.encoder_num_layer):
+        out["semantic_encoder"][f"layer{i}"] = jax.tree.map(
+            lambda x, i=i: x[i], pp["enc_stack"])
+    for i in range(cfg.decoder_num_layer):
+        out["semantic_decoder"][f"layer{i}"] = jax.tree.map(
+            lambda x, i=i: x[i], pp["dec_stack"])
+    return out
+
+
+def _pp_spec_rule(pp_axis: str):
+    """Leaves under enc_stack/dec_stack are sharded on the layer axis."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if ("enc_stack" in keys or "dec_stack" in keys) and getattr(
+                leaf, "ndim", 0) >= 1:
+            return P(pp_axis)
+        return P()
+
+    return spec
+
+
+def create_pp_train_state(model, cfg: Config, key, mesh: Mesh,
+                          pp_axis: str = "pp", **init_kwargs) -> TrainState:
+    """Init a TrainState in the pipeline layout, layer stacks (and their
+    fresh Adam moments) sharded over `pp`. Use from_pp_params on
+    state.params for eval/checkpoint interop."""
+    base = create_train_state(model, cfg, key, **init_kwargs)
+    pp_params = to_pp_params(base.params, cfg)
+    tx = base.tx
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=pp_params,
+                       opt_state=tx.init(pp_params), tx=tx,
+                       ema_params=(to_pp_params(base.ema_params, cfg)
+                                   if base.ema_params is not None else None),
+                       ema_decay=base.ema_decay)
+    return shard_pp_state(state, mesh, pp_axis)
+
+
+def shard_pp_state(state: TrainState, mesh: Mesh,
+                   pp_axis: str = "pp") -> TrainState:
+    """Place a pp-layout TrainState on the mesh: stack leaves sharded on
+    the layer axis over pp, everything else replicated."""
+    rule = _pp_spec_rule(pp_axis)
+
+    def put(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, rule(path, leaf)))
+
+    params = jax.tree_util.tree_map_with_path(put, state.params)
+    opt_state = jax.tree_util.tree_map_with_path(put, state.opt_state)
+    ema = (jax.tree_util.tree_map_with_path(put, state.ema_params)
+           if state.ema_params is not None else None)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return state.replace(step=step, params=params, opt_state=opt_state,
+                         ema_params=ema)
+
+
+# --------------------------------------------------------------------------
+# the GPipe loop (runs inside shard_map)
+# --------------------------------------------------------------------------
+
+def _gpipe(layer_apply: Callable, local_stack, x_mb, extras_mb, base_key,
+           layers_local: int, pp: int, pp_axis: str):
+    """One homogeneous pipeline: x_mb (n_micro, mb, ...) microbatched
+    input (replicated over pp), local_stack a (layers_local, ...) param
+    tree (this stage's slice), extras_mb a pytree of per-microbatch aux
+    with leading n_micro. Returns (n_micro, mb, ...) — VALID ON THE LAST
+    STAGE ONLY (callers take the stage pp-1 copy via out_specs).
+
+    Schedule: tick t, stage s processes microbatch t-s (idle stages
+    compute on don't-care data that carries zero cotangent). n_micro +
+    pp - 1 ticks, statically unrolled — pp and n_micro are small."""
+    stage = jax.lax.axis_index(pp_axis)
+    n_micro = x_mb.shape[0]
+    perm = [(i, i + 1) for i in range(pp - 1)]
+
+    def run_stage(h, mb_idx):
+        ex = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0,
+                                                   keepdims=False),
+            extras_mb)
+
+        def body(carry, xs):
+            p_layer, li = xs
+            k = jax.random.fold_in(
+                jax.random.fold_in(base_key, stage * layers_local + li),
+                mb_idx)
+            return layer_apply(p_layer, carry, ex, k), None
+
+        h, _ = jax.lax.scan(
+            body, h, (local_stack, jnp.arange(layers_local)))
+        return h
+
+    recv = jnp.zeros_like(x_mb[0])
+    out = jnp.zeros_like(x_mb)
+    for t in range(n_micro + pp - 1):
+        mb_idx = jnp.clip(t - stage, 0, n_micro - 1)
+        feed = jax.lax.dynamic_index_in_dim(
+            x_mb, jnp.minimum(jnp.int32(t), n_micro - 1), 0, keepdims=False)
+        h = run_stage(jnp.where(stage == 0, feed, recv), mb_idx)
+        # the last stage overwrites its early don't-care writes at idx 0
+        # before the first valid output (t = pp-1) lands there
+        out = jax.lax.dynamic_update_index_in_dim(out, h, mb_idx, 0)
+        if perm:
+            recv = jax.lax.ppermute(h, pp_axis, perm)
+    return out
+
+
+# --------------------------------------------------------------------------
+# the train step
+# --------------------------------------------------------------------------
+
+def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
+                       channel_kind: Optional[str] = None,
+                       pp_axis: str = "pp",
+                       dp_axis: Optional[str] = "dp") -> Callable:
+    """Pipeline(+data)-parallel plain train step for the vanilla
+    transceiver. Returns jitted `step(state, inp, tar, key, n_std) ->
+    (state, loss)` with `state` in the pp layout (create_pp_train_state).
+
+    Requires encoder_num_layer % pp == decoder_num_layer % pp == 0 and
+    cfg.bs % (n_micro * dp) == 0. `dp_axis=None` (or absent from the
+    mesh) gives a pure-pp 1-D pipeline."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    pp = mesh.shape[pp_axis]
+    dp = mesh.shape.get(dp_axis, 1) if dp_axis else 1
+    dp_in_mesh = dp_axis if (dp_axis and dp_axis in mesh.shape) else None
+    ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
+    if ne % pp or nd % pp:
+        raise ValueError(
+            f"layer counts ({ne}, {nd}) must divide pp={pp}")
+    if cfg.bs % (n_micro * dp):
+        raise ValueError(
+            f"batch {cfg.bs} % (n_micro*dp = {n_micro}*{dp}) != 0")
+    mb = cfg.bs // n_micro
+    dtype = jnp.dtype(cfg.dtype)
+    param_dtype = jnp.dtype(cfg.param_dtype)
+
+    enc_layer = EncoderLayer(cfg.encoder_d_model, cfg.encoder_num_heads,
+                             cfg.encoder_d_ff, cfg.encoder_dropout,
+                             cfg.ffn_mode, dtype=dtype,
+                             param_dtype=param_dtype)
+    dec_layer = DecoderLayer(cfg.decoder_d_model, cfg.decoder_num_heads,
+                             cfg.decoder_d_ff, cfg.decoder_dropout,
+                             cfg.ffn_mode, dtype=dtype,
+                             param_dtype=param_dtype)
+    embed_enc = TokenEmbed(cfg.vocab_size, cfg.encoder_d_model,
+                           cfg.encoder_dropout, dtype=dtype,
+                           param_dtype=param_dtype)
+    embed_dec = TokenEmbed(cfg.vocab_size, cfg.decoder_d_model,
+                           cfg.decoder_dropout, dtype=dtype,
+                           param_dtype=param_dtype)
+    chan_enc = ChannelEncoder(cfg.channel_hidden, cfg.channel_dim,
+                              dtype=dtype, param_dtype=param_dtype)
+    chan_dec = ChannelDecoder(cfg.decoder_d_model, cfg.channel_dec_hidden,
+                              dtype=dtype, param_dtype=param_dtype)
+
+    dp_in_mesh_early = dp_axis if (dp_axis and dp_axis in mesh.shape) else None
+
+    def _dp_key(key):
+        # distinct dropout masks per dp shard (rows differ across shards);
+        # no-op when dropout == 0 (flax Dropout short-circuits rate 0)
+        if dp_in_mesh_early:
+            return jax.random.fold_in(
+                key, jax.lax.axis_index(dp_in_mesh_early))
+        return key
+
+    def enc_apply(p_layer, h, mask, key):
+        return enc_layer.apply({"params": p_layer}, h, mask,
+                               deterministic=False,
+                               rngs={"dropout": _dp_key(key)})
+
+    def dec_apply(p_layer, h, ex, key):
+        mem, lam, pm = ex
+        return dec_layer.apply({"params": p_layer}, h, mem, lam, pm,
+                               deterministic=False,
+                               rngs={"dropout": _dp_key(key)})
+
+    if cfg.remat:
+        enc_apply = jax.checkpoint(enc_apply, prevent_cse=False)
+        dec_apply = jax.checkpoint(dec_apply, prevent_cse=False)
+
+    kl_e, kl_d = ne // pp, nd // pp
+    stack_spec = P(pp_axis)
+    # microbatch rows over dp, microbatch index replicated over pp
+    data_spec = P(None, dp_in_mesh) if dp_in_mesh else P(None)
+
+    def enc_pipe(local_stack, x_mb, mask_mb, key):
+        return _gpipe(enc_apply, local_stack, x_mb, mask_mb, key,
+                      kl_e, pp, pp_axis)
+
+    def dec_pipe(local_stack, x_mb, extras, key):
+        return _gpipe(dec_apply, local_stack, x_mb, extras, key,
+                      kl_d, pp, pp_axis)
+
+    enc_pipe = shard_map(
+        enc_pipe, mesh=mesh,
+        in_specs=(stack_spec, data_spec, data_spec, P()),
+        out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
+        else P(pp_axis),
+        check_vma=False)
+    dec_pipe = shard_map(
+        dec_pipe, mesh=mesh,
+        in_specs=(stack_spec, data_spec,
+                  (data_spec, data_spec, data_spec), P()),
+        out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
+        else P(pp_axis),
+        check_vma=False)
+
+    def last_stage(y):
+        # out_specs concatenated the pp stages on axis 0: (pp*n_micro, ...)
+        # -> the LAST stage's (n_micro, ...) block holds the real outputs
+        return y.reshape((pp, n_micro) + y.shape[1:])[-1]
+
+    def micro(x):
+        return x.reshape((n_micro, mb) + x.shape[1:])
+
+    def step(state: TrainState, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical key split to make_train_step so the channel noise (and
+        # hence the dropout-free loss) matches the single-device step
+        k_ch, k_do, k_snr = jax.random.split(key, 3)
+        n_std_t = _step_noise(cfg, k_snr, n_std)
+        p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                      jnp.float32)
+        k_emb_e, k_emb_d, k_enc, k_dec = jax.random.split(k_do, 4)
+
+        def loss_fn(params):
+            rest = params["rest"]
+            # --- encoder side: embed (replicated) -> pipelined stack
+            x = embed_enc.apply(
+                {"params": rest["semantic_encoder"]["embed"]}, inp,
+                deterministic=False, rngs={"dropout": k_emb_e})
+            h_enc = last_stage(enc_pipe(
+                params["enc_stack"], micro(x), micro(enc_mask), k_enc))
+            sema = h_enc.reshape((cfg.bs,) + h_enc.shape[2:])
+
+            # --- bridge: channel codec + channel sim, full batch at once
+            # (identical to the single-device stage composition,
+            # models/transceiver.py:51-76)
+            tx_sym = chan_enc.apply(
+                {"params": rest["channel_encoder"]}, sema)
+            y = channel_fn(k_ch, tx_sym, p, 0.0, n_std_t, kind=kind,
+                           equalizer=cfg.equalizer,
+                           per_sample=cfg.fading_per_sample)
+            mem = chan_dec.apply({"params": rest["channel_decoder"]}, y)
+
+            # --- decoder side: embed -> pipelined stack -> fused CE
+            xd = embed_dec.apply(
+                {"params": rest["semantic_decoder"]["embed"]}, tar_inp,
+                deterministic=False, rngs={"dropout": k_emb_d})
+            h_dec = last_stage(dec_pipe(
+                params["dec_stack"], micro(xd),
+                (micro(mem), micro(combined_mask), micro(dec_mask)),
+                k_dec))
+            hidden = h_dec.reshape((cfg.bs,) + h_dec.shape[2:])
+            W, bb = _final_wb(rest)
+            return fused_ce_loss(hidden, W, bb, tar_real,
+                                 chunk=cfg.ce_chunk, **lkw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    rule = _pp_spec_rule(pp_axis)
+
+    def shardings_of(state):
+        def nsh(path, leaf):
+            return NamedSharding(mesh, rule(path, leaf))
+
+        pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
+        ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
+        especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
+                  if state.ema_params is not None else None)
+        repl = NamedSharding(mesh, P())
+        return TrainState(step=repl, params=pspecs, opt_state=ospecs,
+                          tx=state.tx, ema_params=especs,
+                          ema_decay=state.ema_decay)
+
+    def make(state):
+        sshard = shardings_of(state)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(dp_in_mesh)) if dp_in_mesh else repl
+        return jax.jit(step,
+                       in_shardings=(sshard, data, data, repl, repl),
+                       out_shardings=(sshard, repl))
+
+    return make

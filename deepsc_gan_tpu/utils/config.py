@@ -143,6 +143,8 @@ class Config:
     # --- parallelism (new capability; the reference is single-device)
     dp: int = 1   # data-parallel mesh size
     tp: int = 1   # tensor-parallel (vocab/heads) mesh size
+    pp: int = 1   # pipeline-parallel stages (parallel/pipeline.py GPipe)
+    pp_microbatches: int = 4  # GPipe microbatches per step (bs divisible)
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

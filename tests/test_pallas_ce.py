@@ -64,6 +64,35 @@ def test_grads_match_dense():
                                    rtol=1e-4)
 
 
+def test_hybrid_value_and_grads_match_dense():
+    """The production hybrid (Pallas fwd + scan bwd) must agree with the
+    naive dense CE on both the value and all three gradients."""
+    from deepsc_gan_tpu.ops.fused_ce import hybrid_softmax_xent
+
+    n, d, v = 12, 8, 40
+    h, W, b, labels = _case(n, d, v, key=7)
+    weights = jax.random.uniform(jax.random.PRNGKey(11), (n,))
+
+    got = hybrid_softmax_xent(h, W, b, labels)
+    want = cross_entropy_per_token(labels[None], (h @ W + b)[None])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    def via_hybrid(h, W, b):
+        return jnp.sum(hybrid_softmax_xent(h, W, b, labels) * weights)
+
+    def dense(h, W, b):
+        return jnp.sum(
+            cross_entropy_per_token(labels[None], (h @ W + b)[None])[0]
+            * weights)
+
+    g1 = jax.grad(via_hybrid, argnums=(0, 1, 2))(h, W, b)
+    g2 = jax.grad(dense, argnums=(0, 1, 2))(h, W, b)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-5,
+                                   rtol=1e-4)
+
+
 def test_mode_control():
     set_ce_kernel_mode("scan")
     assert ce_kernel_mode() == "scan"

@@ -1,0 +1,134 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-device virtual
+CPU mesh: param layout round-trip, pp / pp x dp loss + update equivalence
+to the single-device step, and remat compatibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from deepsc_gan_tpu.models.transceiver import make_model
+from deepsc_gan_tpu.parallel.pipeline import (
+    create_pp_train_state,
+    from_pp_params,
+    make_pp_train_step,
+    to_pp_params,
+)
+from deepsc_gan_tpu.train.steps import create_train_state, make_train_step
+from deepsc_gan_tpu.utils.config import Config
+
+
+def _cfg(**kw):
+    base = dict(
+        vocab_size=48, bs=8, seq_len=12, max_length=11,
+        encoder_num_layer=4, decoder_num_layer=4,
+        encoder_d_model=16, decoder_d_model=16,
+        encoder_d_ff=32, decoder_d_ff=32,
+        encoder_num_heads=2, decoder_num_heads=2,
+        channel_hidden=24, channel_dim=8, channel_dec_hidden=32,
+        dtype="float32",
+        # dropout=0 so the pp step (fold_in dropout streams) is numerically
+        # identical to the flax single-device step — see pipeline.py notes
+        encoder_dropout=0.0, decoder_dropout=0.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _batch(cfg, seed=0):
+    np_rng = np.random.default_rng(seed)
+    data = np.zeros((cfg.bs, cfg.seq_len), np.int32)
+    for i in range(cfg.bs):
+        L = int(np_rng.integers(6, cfg.seq_len + 1))
+        data[i, 0] = cfg.start_idx
+        data[i, 1:L - 1] = np_rng.integers(6, cfg.vocab_size, size=L - 2)
+        data[i, L - 1] = cfg.end_idx
+    return jnp.asarray(data)
+
+
+def _mesh(pp, dp=None):
+    devs = np.array(jax.devices()[: pp * (dp or 1)])
+    if dp:
+        return Mesh(devs.reshape(pp, dp), ("pp", "dp"))
+    return Mesh(devs.reshape(pp), ("pp",))
+
+
+def test_param_layout_roundtrip():
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    pp = to_pp_params(state.params, cfg)
+    # stacks carry the layer axis
+    leaf = jax.tree.leaves(pp["enc_stack"])[0]
+    assert leaf.shape[0] == cfg.encoder_num_layer
+    back = from_pp_params(pp, cfg)
+    jax.tree.map(np.testing.assert_array_equal, back, state.params)
+
+
+@pytest.mark.parametrize("pp,dp,n_micro", [(2, None, 4), (4, None, 2),
+                                           (2, 2, 2)])
+def test_pp_step_matches_single_device(pp, dp, n_micro):
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_step(model, cfg)
+
+    mesh = _mesh(pp, dp)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh)
+    step = make_pp_train_step(model, cfg, mesh, n_micro=n_micro,
+                              dp_axis="dp" if dp else None)(pp_state)
+
+    inp = _batch(cfg)
+    losses_ref, losses_pp = [], []
+    for s in range(3):
+        k = jax.random.PRNGKey(100 + s)
+        ref_state, l_ref = ref_step(ref_state, inp, inp, k, 0.1)
+        pp_state, l_pp = step(pp_state, inp, inp, k, 0.1)
+        losses_ref.append(float(l_ref))
+        losses_pp.append(float(l_pp))
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=2e-5, atol=2e-5)
+    # parameters after 3 Adam updates agree (same grads, fresh moments)
+    back = from_pp_params(pp_state.params, cfg)
+    flat_ref = jax.tree.leaves(ref_state.params)
+    flat_pp = jax.tree.leaves(back)
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_pp_stacks_are_sharded():
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    mesh = _mesh(4)
+    pp_state = create_pp_train_state(model, cfg, jax.random.PRNGKey(0), mesh)
+    leaf = jax.tree.leaves(pp_state.params["enc_stack"])[0]
+    # each device holds 1/4 of the layer axis
+    shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+    assert all(sh[0] == cfg.encoder_num_layer // 4 for sh in shard_shapes)
+
+
+def test_pp_layer_count_gate():
+    cfg = _cfg(encoder_num_layer=3)
+    model = make_model(cfg, "transformer")
+    mesh = _mesh(2)
+    with pytest.raises(ValueError, match="divide"):
+        make_pp_train_step(model, cfg, mesh, n_micro=2, dp_axis=None)
+
+
+def test_pp_with_remat_and_flagship_recipe():
+    """remat + tied embeddings + label smoothing through the pp step."""
+    cfg = _cfg(remat=True, tie_embeddings=True, label_smoothing=0.1)
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_step(model, cfg)
+    mesh = _mesh(2)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh)
+    step = make_pp_train_step(model, cfg, mesh, n_micro=2, dp_axis=None)(
+        pp_state)
+    k = jax.random.PRNGKey(7)
+    _, l_ref = ref_step(ref_state, _batch(cfg), _batch(cfg), k, 0.1)
+    _, l_pp = step(pp_state, _batch(cfg), _batch(cfg), k, 0.1)
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5)
