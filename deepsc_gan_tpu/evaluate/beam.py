@@ -9,9 +9,17 @@ the same compiled program:
 
   state per step: tokens (B, K, T+1), cumulative log-probs (B, K),
                   finished flags (B, K)
-  step i: decode all B*K prefixes -> log-softmax at position i ->
-          top-k over (K * V) continuations per batch row -> gather
-          the surviving prefixes.
+  step i: decode all B*K prefixes -> fused top-K candidate scorer
+          (ops/pallas/topk.py: vocab projection + per-beam top-K +
+          logsumexp, logits never hit HBM) -> top-K over the K*K
+          surviving candidates per batch row -> gather the prefixes.
+
+The two-stage selection is exact: any global top-K continuation is
+within its beam's top-K over the vocab, candidate values are the same
+`score + (logit - lse)` arithmetic on both stages' survivors, and
+tie-breaking matches the one-stage (K*V) masked-argmax (lowest flat
+beam-major index) because per-beam ranks are ordered by vocab index and
+beams compare in beam order.
 
 Two implementations:
   - `make_beam_decode`     — full-prefix decode per step (the O(L^2)
@@ -19,10 +27,12 @@ Two implementations:
                              oracle for tests);
   - `make_beam_decode_kv`  — the serving path: per-layer incremental K/V
                              caches (evaluate/kv_decode.py), one position
-                             through the stack per step, with the caches
-                             GATHERED along the beam axis when beams are
-                             reordered by top-k. Token-identical to the
-                             full-prefix beam at float32 (tested).
+                             through the stack per step, caches permuted
+                             to follow the surviving beams. Token-
+                             identical to the full-prefix beam (tested) —
+                             both paths score candidates through the SAME
+                             `topk_logits` op, so kernel/XLA numerics
+                             cancel in the comparison.
 
 Finished beams (emitted <END>) are frozen: they propose exactly one
 continuation (PAD) carrying their score, so they compete with live beams
@@ -39,31 +49,59 @@ import jax
 import jax.numpy as jnp
 
 from deepsc_gan_tpu.ops.masks import create_look_ahead_mask, create_padding_mask
+from deepsc_gan_tpu.ops.pallas.topk import NEG, _take_top, topk_logits
 from deepsc_gan_tpu.ops.positional import positional_encoding
 from deepsc_gan_tpu.utils.config import Config
 
-NEG = -1e9
+
+def _final_wb(dec_params):
+    """(W (D, V), b (V,)) of the vocab projection, handling the tied-
+    embedding layout (kv_decode.py keeps the same contract)."""
+    if "final_layer" in dec_params:
+        return (dec_params["final_layer"]["kernel"],
+                dec_params["final_layer"]["bias"])
+    E = dec_params["embed"]["embedding"]["embedding"]
+    return E.T, dec_params["final_bias"]
 
 
-def _exact_topk(x: jnp.ndarray, k: int):
-    """Exact top-k over the last axis of (B, N) via k masked-argmax
-    passes. At N=K*V~89k `lax.top_k` is fast in isolation (~20 us) but
-    fuses worse inside the decode loop: masked argmax measured ~5%
-    faster end-to-end (23.6 vs 24.9 ms at B=64) — the big win in this
-    loop is the one-hot cache permutation below, not the top-k. Returns
-    (values (B, k), indices (B, k)), ordered like lax.top_k — descending,
-    ties broken by lowest index (argmax picks the first occurrence, and
-    masking removes it before the next pass)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    mask = jnp.zeros(x.shape, bool)
-    vals, idxs = [], []
-    for _ in range(k):
-        xm = jnp.where(mask, NEG, x)
-        i = jnp.argmax(xm, axis=-1)
-        vals.append(jnp.max(xm, axis=-1))
-        idxs.append(i.astype(jnp.int32))
-        mask = mask | (iota == i[:, None])
-    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+def _frozen_candidates(K: int, pad_idx: int):
+    """Per-beam candidate list a FROZEN beam proposes — exactly the
+    top-K of the `[logp=0 at PAD, NEG elsewhere]` row the one-stage
+    selection saw: (PAD, 0.0) then the K-1 lowest non-PAD vocab ids at
+    NEG (masked-argmax tie-break order)."""
+    vals = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         jnp.full((K - 1,), NEG, jnp.float32)])
+    rest = jnp.arange(1, K)
+    rest = jnp.where(rest - 1 < pad_idx, rest - 1, rest)
+    idx = jnp.concatenate(
+        [jnp.asarray([pad_idx], jnp.int32), rest.astype(jnp.int32)])
+    return vals, idx
+
+
+def _beam_select(h_flat, Wf, bf, scores, finished, K, pad_idx, end_idx):
+    """Stage 1: fused per-row top-K + lse over the vocab projection of
+    `h_flat` (B*K, D). Stage 2: joint top-K over the K*K candidates per
+    batch row. Returns (src_beam (B,K), next_tok (B,K), new_scores,
+    new_finished) — `finished` NOT yet gathered by src_beam."""
+    B = scores.shape[0]
+    vals, idx, lse = topk_logits(h_flat, Wf, bf, K)
+    logp = (vals - lse[:, None]).reshape(B, K, K)
+    idx = idx.reshape(B, K, K)
+
+    fvals, fidx = _frozen_candidates(K, pad_idx)
+    logp = jnp.where(finished[:, :, None], fvals[None, None, :], logp)
+    idx = jnp.where(finished[:, :, None], fidx[None, None, :], idx)
+
+    cand = (scores[:, :, None] + logp).reshape(B, K * K)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, K * K), 1)
+    top_scores, flat = _take_top(cand, pos, K)
+    src_beam = flat // K
+    next_tok = jnp.take_along_axis(
+        idx.reshape(B, K * K), flat, axis=1).astype(jnp.int32)
+    finished = jnp.take_along_axis(finished, src_beam, axis=1)
+    finished = finished | (next_tok == end_idx)
+    return src_beam, next_tok, top_scores, finished
 
 
 def make_beam_decode(model, cfg: Config, beam_size: int = 4,
@@ -89,6 +127,7 @@ def make_beam_decode(model, cfg: Config, beam_size: int = 4,
         mem_k = jnp.repeat(mem, K, axis=0)                  # (B*K, L, D)
         enc_mask_k = jnp.repeat(enc_padding_mask, K, axis=0)
         causal = create_look_ahead_mask(T + 1)
+        Wf, bf = _final_wb(params["semantic_decoder"])
 
         tokens = jnp.full((bsz, K, T + 1), cfg.pad_idx, jnp.int32)
         tokens = tokens.at[:, :, 0].set(cfg.start_idx)
@@ -105,28 +144,14 @@ def make_beam_decode(model, cfg: Config, beam_size: int = 4,
                             enc_mask_k, deterministic=True,
                             apply_final=False, method="_semantic_decode")
             h_i = jax.lax.dynamic_index_in_dim(h, i, axis=1, keepdims=False)
-            logits = model.apply({"params": params}, h_i[:, None, :],
-                                 method="final_projection")[:, 0]
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            logp = logp.reshape(bsz, K, -1)                 # (B, K, V)
 
-            # finished beams propose exactly one frozen continuation (PAD)
-            frozen = jnp.full_like(logp, NEG).at[:, :, cfg.pad_idx].set(0.0)
-            logp = jnp.where(finished[:, :, None], frozen, logp)
-
-            cand = scores[:, :, None] + logp                # (B, K, V)
-            v = cand.shape[-1]
-            top_scores, top_idx = _exact_topk(
-                cand.reshape(bsz, K * v), K)                # (B, K)
-            src_beam = top_idx // v
-            next_tok = (top_idx % v).astype(jnp.int32)
-
+            src_beam, next_tok, scores, finished = _beam_select(
+                h_i, Wf, bf, scores, finished, K, cfg.pad_idx,
+                cfg.end_idx)
             tokens = jnp.take_along_axis(
                 tokens, src_beam[:, :, None], axis=1)
             tokens = tokens.at[:, :, i + 1].set(next_tok)
-            finished = jnp.take_along_axis(finished, src_beam, axis=1)
-            finished = finished | (next_tok == cfg.end_idx)
-            return tokens, top_scores, finished
+            return tokens, scores, finished
 
         tokens, scores, _ = jax.lax.fori_loop(
             0, T, body, (tokens, scores, finished))
@@ -141,12 +166,12 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
                         channel_kind: Optional[str] = None) -> Callable:
     """KV-cached beam search (the serving path): beams fold into the
     batch axis of the incremental per-layer caches, each step computes ONE
-    position through the stack, and the caches are gathered by the
-    surviving-beam indices after every top-k. O(L) stack passes total vs
-    the full-prefix beam's O(L^2) (evaluate/kv_decode.py design notes).
+    position through the stack, and the caches follow the surviving-beam
+    permutation after every top-k. O(L) stack passes total vs the
+    full-prefix beam's O(L^2) (evaluate/kv_decode.py design notes).
     Vanilla transformer variant only. Returns jitted
     `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`
-    (best beam) — token-identical to make_beam_decode at float32."""
+    (best beam) — token-identical to make_beam_decode."""
     from deepsc_gan_tpu.evaluate.kv_decode import (
         _attend,
         _attn_out,
@@ -185,13 +210,7 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
         cross_bias = jnp.repeat(
             enc_padding_mask[:, :, 0, :].astype(jnp.float32) * NEG,
             K, axis=0)                                      # (B*K, 1, Lm)
-
-        if "final_layer" in dec:
-            Wf = dec["final_layer"]["kernel"].astype(jnp.float32)
-            bf = dec["final_layer"]["bias"].astype(jnp.float32)
-        else:  # tied embeddings
-            Wf = E.T.astype(jnp.float32)
-            bf = dec["final_bias"].astype(jnp.float32)
+        Wf, bf = _final_wb(dec)
 
         tokens = jnp.full((B, K, T + 1), cfg.pad_idx, jnp.int32)
         tokens = tokens.at[:, :, 0].set(cfg.start_idx)
@@ -243,24 +262,11 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
                 x = _ln(l["ln3"], ffn + out2).astype(dtype)
                 new_caches.append((Kc, Vc))
 
-            logits = x.astype(jnp.float32) @ Wf + bf        # (B*K, V)
-            logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, -1)
-
-            frozen = jnp.full_like(logp, NEG).at[:, :, cfg.pad_idx].set(0.0)
-            logp = jnp.where(finished[:, :, None], frozen, logp)
-
-            cand = scores[:, :, None] + logp                # (B, K, V)
-            v = cand.shape[-1]
-            top_scores, top_idx = _exact_topk(
-                cand.reshape(B, K * v), K)
-            src_beam = top_idx // v                         # (B, K)
-            next_tok = (top_idx % v).astype(jnp.int32)
-
+            src_beam, next_tok, scores, finished = _beam_select(
+                x, Wf, bf, scores, finished, K, cfg.pad_idx, cfg.end_idx)
             tokens = jnp.take_along_axis(tokens, src_beam[:, :, None],
                                          axis=1)
             tokens = tokens.at[:, :, i + 1].set(next_tok)
-            finished = jnp.take_along_axis(finished, src_beam, axis=1)
-            finished = finished | (next_tok == cfg.end_idx)
 
             # Reorder the caches to follow the surviving beams — as a
             # ONE-HOT MATMUL permutation along the folded (B*K) axis.
@@ -268,16 +274,26 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
             # elementwise dynamic-gather that XLA cannot tile inside this
             # loop: measured ~68 ms of a 94 ms beam search (~4x the whole
             # search) for what is 16 MB of cache movement. The 0/1 matmul
-            # rides the MXU instead (exact: one term per output row) —
-            # measured 95 -> 24 ms end-to-end at B=64, K=4.
+            # rides the MXU instead (exact: one term per output row).
+            # NOTE the permutation is block-diagonal (beams only mix
+            # within their batch row), but lowering it as a (B, K, K)
+            # batched einsum is 20x SLOWER in-loop: XLA pads the tiny
+            # 4x4 matmuls to MXU tiles per batch element (measured
+            # 1,376 ms vs 60 ms per 19-SNR sweep) — keep the single
+            # dense (B*K, B*K) form. Skipping not-yet-written time
+            # chunks via lax.cond was also tried and measured SLOWER
+            # (3,933 vs 4,990 seq/s end-to-end): the per-chunk branches
+            # cost more than the saved traffic.
             flat_src = (jnp.arange(B, dtype=src_beam.dtype)[:, None] * K
                         + src_beam).reshape(B * K)
             onehot = jax.nn.one_hot(flat_src, B * K, dtype=dtype)
-            gathered = tuple(
-                (jnp.einsum("ij,j...->i...", onehot, Kc),
-                 jnp.einsum("ij,j...->i...", onehot, Vc))
-                for Kc, Vc in new_caches)
-            return tokens, top_scores, finished, gathered
+
+            def permuted(c):
+                return jnp.einsum("ij,j...->i...", onehot, c)
+
+            gathered = tuple((permuted(Kc), permuted(Vc))
+                             for Kc, Vc in new_caches)
+            return tokens, scores, finished, gathered
 
         tokens, scores, _, _ = jax.lax.fori_loop(
             0, T, body, (tokens, scores, finished, caches))
