@@ -318,10 +318,21 @@ def cmd_evaluate(args) -> None:
         from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
         from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
         if args.snr_parallel > 1 and args.kv_cache:
-            raise SystemExit("--kv-cache and --snr-parallel are mutually "
-                             "exclusive (the mesh-sharded sweep uses the "
-                             "full-prefix decoder)")
-        if args.snr_parallel > 1:
+            if pm != "step":
+                raise SystemExit("--kv-cache requires an autoregressive "
+                                 "decoder (vanilla transformer)")
+            # KV-cached decode sharded over the snr axis via shard_map
+            # (each device decodes its local SNR shard whole)
+            from deepsc_gan_tpu.parallel.mesh import make_mesh
+            from deepsc_gan_tpu.parallel.sharding import (
+                make_parallel_greedy_kv_sweep)
+            if len(snrs) % args.snr_parallel:
+                raise SystemExit(
+                    f"--snr-parallel {args.snr_parallel} must divide the "
+                    f"number of SNR points ({len(snrs)})")
+            mesh = make_mesh(dp=1, snr=args.snr_parallel)
+            sweep_fn = make_parallel_greedy_kv_sweep(model, cfg, mesh)
+        elif args.snr_parallel > 1:
             # shard the SNR axis of the sweep over a device mesh — each
             # device (group) decodes its own points of the BLEU-vs-SNR
             # curve (params/batch replicated, collectives over ICI)
@@ -363,6 +374,34 @@ def cmd_evaluate(args) -> None:
             make_beam_decode,
             make_beam_decode_kv,
         )
+        if args.snr_parallel > 1:
+            # beam sweep sharded over the mesh's snr axis (shard_map —
+            # the fused candidate scorer is a Pallas kernel GSPMD can't
+            # partition; each device decodes its SNR shard whole)
+            from deepsc_gan_tpu.evaluate.evaluator import snr_sweep_bleu_fast
+            from deepsc_gan_tpu.parallel.mesh import make_mesh
+            from deepsc_gan_tpu.parallel.sharding import (
+                make_parallel_beam_sweep)
+            if args.beam_impl == "full":
+                raise SystemExit("--snr-parallel beam runs the KV-cached "
+                                 "serving impl (--beam-impl kv)")
+            if len(snrs) % args.snr_parallel:
+                raise SystemExit(
+                    f"--snr-parallel {args.snr_parallel} must divide the "
+                    f"number of SNR points ({len(snrs)})")
+            mesh = make_mesh(dp=1, snr=args.snr_parallel)
+            sweep_fn = make_parallel_beam_sweep(
+                model, cfg, mesh, beam_size=args.beam_size)
+            table = snr_sweep_bleu_fast(sweep_fn, state.params, batches,
+                                        vocab, cfg, snrs=snrs,
+                                        pnr_db=args.pnr_db, key=key,
+                                        metric=args.metric)
+            for snr, *ms in table:
+                print(f"SNR={snr:.0f}dB " +
+                      " ".join(f"{m:.4f}" for m in ms))
+            save_result_table(table, os.path.join(
+                cfg.log_save_path, f"test-{variant}-{args.eval_mode}.pkl"))
+            return
         if args.beam_impl == "full":
             decode = make_beam_decode(model, cfg, beam_size=args.beam_size)
         else:  # KV-cached serving path (token-identical at f32)

@@ -217,6 +217,83 @@ def make_parallel_greedy_sweep(model, cfg: Config, mesh: Mesh,
     )
 
 
+def make_parallel_greedy_kv_sweep(model, cfg: Config, mesh: Mesh,
+                                  channel_kind: Optional[str] = None,
+                                  snr_axis: str = "snr") -> Callable:
+    """KV-cached greedy decode across a VECTOR of noise levels with the S
+    axis sharded over the mesh's snr axis — the serving-path counterpart
+    of make_parallel_greedy_sweep (which shards the full-prefix decoder
+    via GSPMD). Explicit shard_map: each device decodes its local SNR
+    shard whole; keys split over the GLOBAL S axis, so tokens match the
+    unsharded evaluate.kv_decode.make_greedy_decode_kv_sweep exactly."""
+    from jax import shard_map
+
+    from deepsc_gan_tpu.evaluate.kv_decode import make_greedy_decode_kv
+
+    decode = make_greedy_decode_kv(model, cfg, channel_kind).__wrapped__
+
+    def local_sweep(params, inp, keys, pnr_db, n_stds):
+        return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(
+            params, inp, keys, pnr_db, n_stds)
+
+    mapped = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(), P(), P(snr_axis), P(), P(snr_axis)),
+        out_specs=P(snr_axis),
+        check_vma=False)
+
+    @jax.jit
+    def sweep(params, inp, key, pnr_db, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return mapped(params, inp, keys, pnr_db, n_stds)
+
+    return sweep
+
+
+def make_parallel_beam_sweep(model, cfg: Config, mesh: Mesh,
+                             beam_size: int = 4,
+                             channel_kind: Optional[str] = None,
+                             snr_axis: str = "snr") -> Callable:
+    """KV-cached beam search across a VECTOR of noise levels with the S
+    axis sharded over the mesh's snr axis (the beam counterpart of
+    make_parallel_greedy_sweep). Returns
+    `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`
+    (best beam per sequence); S must be divisible by the snr-axis size.
+
+    Unlike the greedy sweep (plain jit + in_shardings, GSPMD partitions
+    the program), this one is an explicit `shard_map`: the beam step's
+    fused candidate scorer is a `pallas_call` (ops/pallas/topk.py), which
+    GSPMD cannot partition — shard_map runs the whole kernel per device
+    on its local SNR shard instead, which is also the right layout (SNR
+    points are embarrassingly parallel; no collectives). The key is split
+    over the GLOBAL S axis before sharding, so each SNR point sees the
+    same noise realization as the unsharded
+    evaluate.beam.make_beam_decode_sweep (token parity tested)."""
+    from jax import shard_map
+
+    from deepsc_gan_tpu.evaluate.beam import make_beam_decode_kv
+
+    decode = make_beam_decode_kv(model, cfg, beam_size,
+                                 channel_kind).__wrapped__
+
+    def local_sweep(params, inp, keys, pnr_db, n_stds):
+        return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(
+            params, inp, keys, pnr_db, n_stds)
+
+    mapped = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(), P(), P(snr_axis), P(), P(snr_axis)),
+        out_specs=P(snr_axis),
+        check_vma=False)
+
+    @jax.jit
+    def sweep(params, inp, key, pnr_db, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return mapped(params, inp, keys, pnr_db, n_stds)
+
+    return sweep
+
+
 def make_parallel_snr_sweep(model, cfg: Config, mesh: Mesh,
                             channel_kind: Optional[str] = None,
                             full_target: bool = False,

@@ -131,6 +131,15 @@ def test_cli_snr_parallel_greedy_eval(tmp_path):
                   "greedy", "--eval-batches", "1", "--snr-lo", "0",
                   "--snr-hi", "4", "--snr-parallel", "4"] + common)
 
+    # --kv-cache + --snr-parallel: the KV serving decoder sharded over
+    # the snr axis (shard_map path)
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "greedy", "--kv-cache", "--eval-batches", "1", "--snr-lo",
+              "0", "--snr-hi", "3", "--snr-parallel", "4"] + common)
+    with open(os.path.join(log, "test-transformer-greedy.pkl"), "rb") as f:
+        table = pickle.load(f)
+    assert [row[0] for row in table] == [0, 1, 2, 3]
+
 
 def test_cli_transmit(tmp_path, capsys):
     """`transmit` runs text through tokenize -> channel -> decode and
@@ -161,6 +170,33 @@ def test_cli_beam_eval(tmp_path):
               "--snr-hi", "6"] + common)
     out = os.path.join(log, "test-transformer-beam.pkl")
     assert os.path.exists(out)
+
+
+def test_cli_beam_snr_parallel(tmp_path):
+    """--snr-parallel beam sweep: SNR axis sharded over the virtual mesh
+    via shard_map (the Pallas scorer can't be GSPMD-partitioned)."""
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", log,
+    ]
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode", "beam",
+              "--beam-size", "2", "--eval-batches", "1", "--snr-lo", "0",
+              "--snr-hi", "3", "--snr-parallel", "4"] + common)
+    with open(os.path.join(log, "test-transformer-beam.pkl"), "rb") as f:
+        table = pickle.load(f)
+    assert [row[0] for row in table] == [0, 1, 2, 3]
+    assert all(0.0 <= row[1] <= 1.0 for row in table)
+
+    # the full-prefix impl has no sharded path -> clear error
+    with pytest.raises(SystemExit):
+        cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+                  "beam", "--beam-impl", "full", "--eval-batches", "1",
+                  "--snr-lo", "0", "--snr-hi", "3",
+                  "--snr-parallel", "4"] + common)
 
 
 def test_cli_gan_teacher_forced_eval(tmp_path):

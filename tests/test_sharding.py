@@ -209,3 +209,47 @@ def test_greedy_sweep_sharded_matches_vmapped(tiny_cfg, tiny_batch):
         jax.device_put(n_stds, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("snr")))))
     np.testing.assert_array_equal(got, want)
+
+
+def test_beam_sweep_sharded_matches_vmapped(tiny_cfg, tiny_batch):
+    """Mesh-sharded KV beam sweep (shard_map over the snr axis) produces
+    the same best-beam tokens as the single-device vmapped sweep."""
+    from deepsc_gan_tpu.evaluate.beam import make_beam_decode_sweep
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_beam_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=4)
+    par = make_parallel_beam_sweep(model, cfg, mesh, beam_size=3)
+    ref_sweep = make_beam_decode_sweep(model, cfg, beam_size=3)
+    n_stds = jnp.asarray([1.0, 0.5, 0.25, 0.1])
+    key = jax.random.PRNGKey(6)
+
+    want = np.asarray(ref_sweep(state.params, tiny_batch, key, 0.0, n_stds))
+    got = np.asarray(par(state.params, tiny_batch, key,
+                         jnp.asarray(0.0), n_stds))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_kv_sweep_sharded_matches_vmapped(tiny_cfg, tiny_batch):
+    """Mesh-sharded KV greedy sweep (shard_map over the snr axis) matches
+    the single-device vmapped KV sweep token-for-token."""
+    from deepsc_gan_tpu.evaluate.kv_decode import make_greedy_decode_kv_sweep
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_greedy_kv_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=4)
+    par = make_parallel_greedy_kv_sweep(model, cfg, mesh)
+    ref_sweep = make_greedy_decode_kv_sweep(model, cfg)
+    n_stds = jnp.asarray([1.0, 0.5, 0.25, 0.1])
+    key = jax.random.PRNGKey(8)
+
+    want = np.asarray(ref_sweep(state.params, tiny_batch, key, 0.0, n_stds))
+    got = np.asarray(par(state.params, tiny_batch, key,
+                         jnp.asarray(0.0), n_stds))
+    np.testing.assert_array_equal(got, want)
