@@ -136,7 +136,37 @@ def cmd_train(args) -> None:
     mesh = None
     mine_state = None
     scan_k = max(1, args.scan_steps)
-    if cfg.dp > 1 or cfg.tp > 1:
+    if cfg.pp > 1:
+        # GPipe pipeline parallelism over a (pp, dp) mesh
+        # (parallel/pipeline.py); checkpoints are converted back to the
+        # standard layout at save time so `evaluate` restores them
+        if mode != "plain":
+            raise SystemExit(f"--pp supports plain training; for "
+                             f"mode={mode} use --dp")
+        if cfg.tp > 1:
+            raise SystemExit("--pp composes with --dp only (no pp x tp)")
+        if variant != "transformer":
+            raise SystemExit("--pp supports the vanilla transformer "
+                             "variant (star codecs are not a homogeneous "
+                             "layer chain — use --dp/--tp)")
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from deepsc_gan_tpu.parallel.pipeline import (
+            create_pp_train_state,
+            make_pp_train_step,
+        )
+        n_dev = cfg.pp * cfg.dp
+        if len(jax.devices()) < n_dev:
+            raise SystemExit(f"--pp {cfg.pp} x --dp {cfg.dp} needs "
+                             f"{n_dev} devices, have {len(jax.devices())}")
+        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(cfg.pp, cfg.dp),
+                    ("pp", "dp"))
+        state = create_pp_train_state(model, cfg, key, mesh)
+        step = make_pp_train_step(model, cfg, mesh,
+                                  n_micro=cfg.pp_microbatches)(state)
+        path = f"mesh{dict(mesh.shape)}:gpipe"
+    elif cfg.dp > 1 or cfg.tp > 1:
         from deepsc_gan_tpu.parallel.mesh import make_mesh
         if cfg.tp > 1:
             if mode != "plain":
@@ -267,7 +297,13 @@ def cmd_train(args) -> None:
         # a sync Orbax save costs seconds — at this model scale an epoch is
         # sub-second on TPU, so saving every epoch would dominate wall-clock
         if (epoch + 1) % args.ckpt_every == 0 or epoch + 1 == cfg.epochs:
-            ckpt.save(epoch + 1, state)
+            if cfg.pp > 1:
+                # standard layout on disk -> evaluate/transmit restore it
+                from deepsc_gan_tpu.parallel.pipeline import (
+                    pp_state_to_standard)
+                ckpt.save(epoch + 1, pp_state_to_standard(state, cfg))
+            else:
+                ckpt.save(epoch + 1, state)
             t_epoch = time.time()
     ckpt.close()  # join pending async writes before exit
     logger.close()

@@ -51,17 +51,8 @@ import jax.numpy as jnp
 from deepsc_gan_tpu.ops.masks import create_look_ahead_mask, create_padding_mask
 from deepsc_gan_tpu.ops.pallas.topk import NEG, _take_top, topk_logits
 from deepsc_gan_tpu.ops.positional import positional_encoding
+from deepsc_gan_tpu.train.steps import _final_wb
 from deepsc_gan_tpu.utils.config import Config
-
-
-def _final_wb(dec_params):
-    """(W (D, V), b (V,)) of the vocab projection, handling the tied-
-    embedding layout (kv_decode.py keeps the same contract)."""
-    if "final_layer" in dec_params:
-        return (dec_params["final_layer"]["kernel"],
-                dec_params["final_layer"]["bias"])
-    E = dec_params["embed"]["embedding"]["embedding"]
-    return E.T, dec_params["final_bias"]
 
 
 def _frozen_candidates(K: int, pad_idx: int):
@@ -127,7 +118,7 @@ def make_beam_decode(model, cfg: Config, beam_size: int = 4,
         mem_k = jnp.repeat(mem, K, axis=0)                  # (B*K, L, D)
         enc_mask_k = jnp.repeat(enc_padding_mask, K, axis=0)
         causal = create_look_ahead_mask(T + 1)
-        Wf, bf = _final_wb(params["semantic_decoder"])
+        Wf, bf = _final_wb(params)
 
         tokens = jnp.full((bsz, K, T + 1), cfg.pad_idx, jnp.int32)
         tokens = tokens.at[:, :, 0].set(cfg.start_idx)
@@ -210,7 +201,7 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
         cross_bias = jnp.repeat(
             enc_padding_mask[:, :, 0, :].astype(jnp.float32) * NEG,
             K, axis=0)                                      # (B*K, 1, Lm)
-        Wf, bf = _final_wb(dec)
+        Wf, bf = _final_wb(params)
 
         tokens = jnp.full((B, K, T + 1), cfg.pad_idx, jnp.int32)
         tokens = tokens.at[:, :, 0].set(cfg.start_idx)

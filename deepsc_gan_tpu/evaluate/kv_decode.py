@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from deepsc_gan_tpu.ops.masks import create_padding_mask
 from deepsc_gan_tpu.ops.positional import positional_encoding
+from deepsc_gan_tpu.train.steps import _final_wb
 from deepsc_gan_tpu.utils.config import Config
 
 NEG = -1e9
@@ -106,12 +107,8 @@ def make_greedy_decode_kv(model, cfg: Config,
         # enc_padding_mask: (B,1,1,Lm), 1.0 = blocked -> (B,1,Lm) bias
         cross_bias = enc_padding_mask[:, :, 0, :].astype(jnp.float32) * NEG
 
-        if "final_layer" in dec:
-            Wf = dec["final_layer"]["kernel"].astype(jnp.float32)
-            bf = dec["final_layer"]["bias"].astype(jnp.float32)
-        else:  # tied embeddings
-            Wf = E.T.astype(jnp.float32)
-            bf = dec["final_bias"].astype(jnp.float32)
+        Wf, bf = _final_wb(params)  # train.steps: tied/untied layouts
+        Wf, bf = Wf.astype(jnp.float32), bf.astype(jnp.float32)
 
         buf = jnp.full((B, T + 1), cfg.pad_idx, jnp.int32)
         buf = buf.at[:, 0].set(cfg.start_idx)

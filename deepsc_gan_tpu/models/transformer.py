@@ -138,18 +138,15 @@ class TokenEmbed(nn.Module):
         return self.embedding.embedding
 
 
-def _maybe_remat(layer_call, remat: bool, deterministic: bool):
+def _maybe_remat(layer_call, remat: bool):
     """Optionally wrap a layer invocation in nn.remat (jax.checkpoint):
     the layer's intermediates are recomputed in the backward instead of
     round-tripping HBM — a net win once training is bandwidth-bound
-    (Config.remat). `deterministic` is closed over as a static value."""
+    (Config.remat). The caller's lambda closes over `deterministic` as a
+    static value."""
     if not remat:
         return layer_call
-
-    def run(mdl, *xs):
-        return layer_call(mdl, *xs)
-
-    return nn.remat(run, prevent_cse=False)
+    return nn.remat(layer_call, prevent_cse=False)
 
 
 class Encoder(nn.Module):
@@ -175,7 +172,7 @@ class Encoder(nn.Module):
                        name="embed")(tokens, deterministic=deterministic)
         run = _maybe_remat(
             lambda mdl, x, mask: mdl(x, mask, deterministic=deterministic),
-            self.remat, deterministic)
+            self.remat)
         for i in range(self.num_layers):
             layer = EncoderLayer(self.d_model, self.num_heads, self.dff,
                                  self.dropout, self.ffn_mode,
@@ -236,7 +233,7 @@ class Decoder(nn.Module):
         run = _maybe_remat(
             lambda mdl, x, mem, lam, pm: mdl(
                 x, mem, lam, pm, deterministic=deterministic),
-            self.remat, deterministic)
+            self.remat)
         for layer in self.layers:
             x = run(layer, x, enc_output, look_ahead_mask, padding_mask)
         if apply_final:

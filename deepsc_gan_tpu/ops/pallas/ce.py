@@ -50,6 +50,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepsc_gan_tpu.ops.fused_ce import _op_dtype
+
 NEG = -1e30
 
 _MODE = "auto"
@@ -301,12 +303,6 @@ def _pick_tv(tv: int, d: int) -> int:
     # the dW kernel holds dw f32 (D, TV) + logits f32 (TN, TV) + double-
     # buffered operands in scoped VMEM; shrink the vocab tile at large D
     return tv if tv else (2048 if d <= 256 else 1024)
-
-
-def _op_dtype(h):
-    """Matmul operand dtype policy: follow low-precision activations
-    (bf16 operands -> full MXU rate, f32 accumulate); anything else f32."""
-    return jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
 
 
 def _fwd_dispatch(h, W, b, labels, tn, tv):

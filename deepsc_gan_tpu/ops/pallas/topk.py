@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from deepsc_gan_tpu.ops.fused_ce import _op_dtype
 from deepsc_gan_tpu.ops.pallas.ce import _pad_rows, _pad_vocab
 
 NEG = -1e30
@@ -185,10 +186,6 @@ def _xla_topk_logits(h, W, b, k):
     cols = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     vals, idx = _take_top(logits, cols, k)
     return vals, idx, (m + jnp.log(s))[:, 0]
-
-
-def _op_dtype(h):
-    return jnp.bfloat16 if h.dtype == jnp.bfloat16 else jnp.float32
 
 
 def topk_logits(h, W, b, k: int = 4, tn: int = 256, tv: int = 2048):

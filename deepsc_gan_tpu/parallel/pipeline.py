@@ -139,6 +139,19 @@ def create_pp_train_state(model, cfg: Config, key, mesh: Mesh,
     return shard_pp_state(state, mesh, pp_axis)
 
 
+def pp_state_to_standard(state: TrainState, cfg: Config) -> TrainState:
+    """Convert a pp-layout TrainState (stacked layer axes in params,
+    ema_params, and the Adam moments) back to the standard layout, so
+    checkpoints written by a pipeline run interoperate with evaluate/
+    decoders and non-pp resumes."""
+    def is_pp(t):
+        return isinstance(t, dict) and "enc_stack" in t
+
+    return jax.tree.map(
+        lambda t: from_pp_params(t, cfg) if is_pp(t) else t,
+        state, is_leaf=is_pp)
+
+
 def shard_pp_state(state: TrainState, mesh: Mesh,
                    pp_axis: str = "pp") -> TrainState:
     """Place a pp-layout TrainState on the mesh: stack leaves sharded on
@@ -231,7 +244,7 @@ def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
     ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
     if ne % pp or nd % pp:
         raise ValueError(
-            f"layer counts ({ne}, {nd}) must divide pp={pp}")
+            f"pp={pp} must divide the layer counts ({ne}, {nd})")
     if cfg.bs % (n_micro * dp):
         raise ValueError(
             f"batch {cfg.bs} % (n_micro*dp = {n_micro}*{dp}) != 0")
@@ -258,14 +271,12 @@ def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
     chan_dec = ChannelDecoder(cfg.decoder_d_model, cfg.channel_dec_hidden,
                               dtype=dtype, param_dtype=param_dtype)
 
-    dp_in_mesh_early = dp_axis if (dp_axis and dp_axis in mesh.shape) else None
-
     def _dp_key(key):
         # distinct dropout masks per dp shard (rows differ across shards);
         # no-op when dropout == 0 (flax Dropout short-circuits rate 0)
-        if dp_in_mesh_early:
+        if dp_in_mesh:
             return jax.random.fold_in(
-                key, jax.lax.axis_index(dp_in_mesh_early))
+                key, jax.lax.axis_index(dp_in_mesh))
         return key
 
     def enc_apply(p_layer, h, mask, key):

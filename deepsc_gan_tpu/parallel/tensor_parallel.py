@@ -34,7 +34,6 @@ headroom, and the same recipe carries to larger vocabularies/models.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -153,8 +152,14 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
     # the explicit-collective CE: hidden rows sharded over dp, projection
     # weights over tp; returns the GLOBAL mean masked CE (the reference's
     # mean-over-all-positions semantics, ops/losses.loss_function)
+    ndp = mesh.shape[dp_axis]
+
     def ce_shard(hidden, W, b, labels, mask):
-        n_global = cfg.bs * (cfg.seq_len - 1)
+        # mean over ALL global rows (reference mean-over-all-positions
+        # semantics) — denominator from the ACTUAL operand shape, not
+        # cfg.bs, so callers with a different batch shape aren't silently
+        # mis-scaled (hidden is the local dp shard of the flat rows)
+        n_global = hidden.shape[0] * ndp
         off = jax.lax.axis_index(tp_axis) * vs
         ce = vocab_parallel_ce_rows(hidden, W, b, labels, off, tp_axis,
                                     alpha, cfg.vocab_size)

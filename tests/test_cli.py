@@ -324,3 +324,33 @@ def test_cli_export_roundtrip(tmp_path):
                    jnp.float32(0.0), jnp.ones((2,), jnp.float32))
     assert np.asarray(ids).shape[0] == 2  # (S, B, T+1)
     assert np.asarray(ids).shape[1] == 4
+
+
+def test_cli_train_pp_then_evaluate(tmp_path):
+    """--pp drives the GPipe pipeline step through the CLI entry, saves a
+    STANDARD-layout checkpoint, and evaluate restores it."""
+    ckpt = str(tmp_path / "ckpt")
+    log = str(tmp_path / "log")
+    common = TINY + [
+        "--encoder-num-layer", "2", "--decoder-num-layer", "2",
+        "--train-save-path", str(tmp_path / "missing.pkl"),
+        "--test-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", ckpt,
+        "--log-save-path", log,
+    ]
+    cli.main(["train", "--variant", "transformer", "--pp", "2", "--dp",
+              "2", "--pp-microbatches", "2", "--log-every", "1"] + common)
+    assert os.path.isdir(os.path.join(ckpt, "transformer"))
+    cli.main(["evaluate", "--variant", "transformer", "--eval-mode",
+              "greedy", "--eval-batches", "1", "--snr-lo", "6",
+              "--snr-hi", "6"] + common)
+    assert os.path.exists(os.path.join(log, "test-transformer-greedy.pkl"))
+
+    # unsupported compositions fail loudly, not silently
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--variant", "transformer", "--pp", "2",
+                  "--tp", "2"] + common)
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--variant", "transformer", "--pp", "2",
+                  "--train-mode", "gan"] + common)
