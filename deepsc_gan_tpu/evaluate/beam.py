@@ -74,7 +74,8 @@ def _beam_select(h_flat, Wf, bf, scores, finished, K, pad_idx, end_idx):
     """Stage 1: fused per-row top-K + lse over the vocab projection of
     `h_flat` (B*K, D). Stage 2: joint top-K over the K*K candidates per
     batch row. Returns (src_beam (B,K), next_tok (B,K), new_scores,
-    new_finished) — `finished` NOT yet gathered by src_beam."""
+    new_finished) — `new_finished` is already permuted by src_beam and
+    OR-ed with the new end-token hits; callers must NOT re-gather it."""
     B = scores.shape[0]
     vals, idx, lse = topk_logits(h_flat, Wf, bf, K)
     logp = (vals - lse[:, None]).reshape(B, K, K)
@@ -193,7 +194,11 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
         dec = params["semantic_decoder"]
         layers = [dec[f"layer{i}"] for i in range(n_layers)]
         E = dec["embed"]["embedding"]["embedding"]
-        pe = positional_encoding(512, cfg.decoder_d_model, dtype)[0]
+        # PE rows are independent of table length, so any length >= the
+        # decoded positions is value-identical; size it from the config so
+        # max_length > 511 can never silently run off the table
+        pe = positional_encoding(max(512, cfg.max_length + 2),
+                                 cfg.decoder_d_model, dtype)[0]
 
         # memory K/V + cross bias computed once, beams folded into batch
         mem_k = jnp.repeat(mem, K, axis=0)                  # (B*K, Lm, D)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -23,7 +23,7 @@ from deepsc_gan_tpu.utils.config import Config
 
 def make_scorers(metric: str = "bleu",
                  bleu_weights=(1.0, 0.0, 0.0, 0.0),
-                 bert_path: str = None) -> list:
+                 bert_path: Optional[str] = None) -> list:
     """Scorer list for `metric` in {bleu, similarity, both} (reference
     scores BLEU and BERT sentence similarity side by side,
     utlis/tools.py:30-103). BERT similarity needs local weights — set

@@ -100,7 +100,10 @@ def make_greedy_decode_kv(model, cfg: Config,
         dec = params["semantic_decoder"]
         layers = [dec[f"layer{i}"] for i in range(n_layers)]
         E = dec["embed"]["embedding"]["embedding"]
-        pe = positional_encoding(512, cfg.decoder_d_model, dtype)[0]
+        # PE rows are independent of table length; size from the config so
+        # max_length > 511 can never silently run off the table
+        pe = positional_encoding(max(512, cfg.max_length + 2),
+                                 cfg.decoder_d_model, dtype)[0]
 
         # cross-attention K/V and bias: computed once
         memKV = [_kv_memory(l["cross_mha"], mem) for l in layers]

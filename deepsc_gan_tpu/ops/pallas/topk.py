@@ -20,9 +20,9 @@ logits resident in VMEM:
 so the per-step HBM traffic drops from ~4 GB to the (D, V) weight
 stream. logp of a candidate is then `(val - m) - log(s)` == what
 `jax.nn.log_softmax` yields at that position (identical arithmetic; the
-kernel returns lse = m + log s and m so callers can reproduce either
-form — beam search uses `vals - lse` uniformly on both its full-prefix
-and KV paths, so the two stay token-identical).
+kernel returns lse = m + log s — beam search uses `vals - lse`
+uniformly on both its full-prefix and KV paths, so the two stay
+token-identical).
 
 In-kernel top-K: no argmax/sort primitives — each selection is
 `max` + `min(where(x == max, cols, BIG))` (lowest index achieving the

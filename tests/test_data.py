@@ -128,7 +128,10 @@ def test_preprocess_corpus_end_to_end(tmp_path):
         assert seq[0] == 1 and seq[-1] == 2
         toks = vocab.decode(seq[1:-1], stop_at_end=False)
         assert all(t not in ("<UNK>",) for t in toks)
-    # '.' removed, '!' kept as a token at tokenize time? reference keeps
-    # '!' in the vocab (it survives normalize + is not in punct_to_remove)
-    assert "." not in vocab.token_to_idx or True
+    # punct_to_remove drops '.' and '?' from the vocab; '!' survives
+    # (the committed reference vocab has '!'=5 and no '.'/'?' —
+    # tests/test_golden_reference_data.py pins that side)
+    assert "." not in vocab.token_to_idx
+    assert "?" not in vocab.token_to_idx
+    assert "!" in vocab.token_to_idx
     assert "session" in vocab.token_to_idx
