@@ -140,8 +140,8 @@ def cmd_train(args) -> None:
         # GPipe pipeline parallelism over a (pp, dp) mesh
         # (parallel/pipeline.py); checkpoints are converted back to the
         # standard layout at save time so `evaluate` restores them
-        if mode != "plain":
-            raise SystemExit(f"--pp supports plain training; for "
+        if mode not in ("plain", "attack"):
+            raise SystemExit(f"--pp supports plain/attack training; for "
                              f"mode={mode} use --dp")
         if cfg.tp > 1:
             raise SystemExit("--pp composes with --dp only (no pp x tp)")
@@ -154,6 +154,7 @@ def cmd_train(args) -> None:
 
         from deepsc_gan_tpu.parallel.pipeline import (
             create_pp_train_state,
+            make_pp_attack_step,
             make_pp_train_step,
         )
         n_dev = cfg.pp * cfg.dp
@@ -163,9 +164,14 @@ def cmd_train(args) -> None:
         mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(cfg.pp, cfg.dp),
                     ("pp", "dp"))
         state = create_pp_train_state(model, cfg, key, mesh)
-        step = make_pp_train_step(model, cfg, mesh,
-                                  n_micro=cfg.pp_microbatches)(state)
-        path = f"mesh{dict(mesh.shape)}:gpipe"
+        if mode == "attack":
+            step = make_pp_attack_step(
+                model, cfg, mesh, n_micro=cfg.pp_microbatches,
+                adv_weight=args.adv_weight)(state)
+        else:
+            step = make_pp_train_step(model, cfg, mesh,
+                                      n_micro=cfg.pp_microbatches)(state)
+        path = f"mesh{dict(mesh.shape)}:gpipe-{mode}"
     elif cfg.dp > 1 or cfg.tp > 1:
         from deepsc_gan_tpu.parallel.mesh import make_mesh
         if cfg.tp > 1:

@@ -225,109 +225,218 @@ def _gpipe(layer_apply: Callable, local_stack, x_mb, extras_mb, base_key,
 # the train step
 # --------------------------------------------------------------------------
 
+class _PPForward:
+    """Shared construction for the pp step makers (plain + FGM attack):
+    validates the mesh/config, rebuilds the stage modules from cfg, wires
+    the two shard-mapped GPipe loops, and exposes the forward's two halves
+    as pure functions of the pp-layout params —
+
+      encode(params, inp, enc_mask, k_emb, k_pipe) -> tx (B, L, Cdim)
+      transmit(k_ch, tx, p, pnr_db, n_std) -> received y
+      decode_loss(params, y, tar_inp, tar_real, cmask, dmask, k_emb,
+                  k_pipe) -> scalar masked CE (fused projection+CE)
+
+    — i.e. exactly the staged decomposition every attack in the system
+    differentiates at (models/transceiver.py docstring: grads w.r.t. the
+    intermediate tx or y)."""
+
+    def __init__(self, model, cfg: Config, mesh: Mesh, n_micro: int,
+                 channel_kind: Optional[str], pp_axis: str,
+                 dp_axis: Optional[str]):
+        self.kind = channel_kind or cfg.channel
+        self.lkw = _loss_kwargs(cfg)
+        self.cfg = cfg
+        pp = self.pp = mesh.shape[pp_axis]
+        dp = mesh.shape.get(dp_axis, 1) if dp_axis else 1
+        dp_in_mesh = self.dp_in_mesh = (
+            dp_axis if (dp_axis and dp_axis in mesh.shape) else None)
+        self.pp_axis, self.mesh, self.n_micro = pp_axis, mesh, n_micro
+        ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
+        if type(model).__name__ != "Transceiver":
+            raise ValueError(
+                "the pp steps rebuild the PLAIN transceiver from cfg; "
+                f"got variant {type(model).__name__} — its param tree "
+                "would not match the pipeline stages")
+        if ne % pp or nd % pp:
+            raise ValueError(
+                f"pp={pp} must divide the layer counts ({ne}, {nd})")
+        if cfg.bs % (n_micro * dp):
+            raise ValueError(
+                f"batch {cfg.bs} % (n_micro*dp = {n_micro}*{dp}) != 0")
+        self.mb = cfg.bs // n_micro
+        dtype = jnp.dtype(cfg.dtype)
+        param_dtype = jnp.dtype(cfg.param_dtype)
+
+        enc_layer = EncoderLayer(cfg.encoder_d_model, cfg.encoder_num_heads,
+                                 cfg.encoder_d_ff, cfg.encoder_dropout,
+                                 cfg.ffn_mode, dtype=dtype,
+                                 param_dtype=param_dtype)
+        dec_layer = DecoderLayer(cfg.decoder_d_model, cfg.decoder_num_heads,
+                                 cfg.decoder_d_ff, cfg.decoder_dropout,
+                                 cfg.ffn_mode, dtype=dtype,
+                                 param_dtype=param_dtype)
+        self.embed_enc = TokenEmbed(cfg.vocab_size, cfg.encoder_d_model,
+                                    cfg.encoder_dropout, dtype=dtype,
+                                    param_dtype=param_dtype)
+        self.embed_dec = TokenEmbed(cfg.vocab_size, cfg.decoder_d_model,
+                                    cfg.decoder_dropout, dtype=dtype,
+                                    param_dtype=param_dtype)
+        self.chan_enc = ChannelEncoder(cfg.channel_hidden, cfg.channel_dim,
+                                       dtype=dtype, param_dtype=param_dtype)
+        self.chan_dec = ChannelDecoder(cfg.decoder_d_model,
+                                       cfg.channel_dec_hidden,
+                                       dtype=dtype, param_dtype=param_dtype)
+
+        def _dp_key(key):
+            # distinct dropout masks per dp shard (rows differ across
+            # shards); no-op when dropout == 0 (flax Dropout
+            # short-circuits rate 0)
+            if dp_in_mesh:
+                return jax.random.fold_in(
+                    key, jax.lax.axis_index(dp_in_mesh))
+            return key
+
+        def enc_apply(p_layer, h, mask, key):
+            return enc_layer.apply({"params": p_layer}, h, mask,
+                                   deterministic=False,
+                                   rngs={"dropout": _dp_key(key)})
+
+        def dec_apply(p_layer, h, ex, key):
+            mem, lam, pm = ex
+            return dec_layer.apply({"params": p_layer}, h, mem, lam, pm,
+                                   deterministic=False,
+                                   rngs={"dropout": _dp_key(key)})
+
+        if cfg.remat:
+            enc_apply = jax.checkpoint(enc_apply, prevent_cse=False)
+            dec_apply = jax.checkpoint(dec_apply, prevent_cse=False)
+
+        kl_e, kl_d = ne // pp, nd // pp
+        stack_spec = P(pp_axis)
+        # microbatch rows over dp, microbatch index replicated over pp
+        data_spec = P(None, dp_in_mesh) if dp_in_mesh else P(None)
+        self.data_spec = data_spec
+
+        def enc_pipe(local_stack, x_mb, mask_mb, key):
+            return _gpipe(enc_apply, local_stack, x_mb, mask_mb, key,
+                          kl_e, pp, pp_axis)
+
+        def dec_pipe(local_stack, x_mb, extras, key):
+            return _gpipe(dec_apply, local_stack, x_mb, extras, key,
+                          kl_d, pp, pp_axis)
+
+        self.enc_pipe = shard_map(
+            enc_pipe, mesh=mesh,
+            in_specs=(stack_spec, data_spec, data_spec, P()),
+            out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
+            else P(pp_axis),
+            check_vma=False)
+        self.dec_pipe = shard_map(
+            dec_pipe, mesh=mesh,
+            in_specs=(stack_spec, data_spec,
+                      (data_spec, data_spec, data_spec), P()),
+            out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
+            else P(pp_axis),
+            check_vma=False)
+
+    # --- the forward's halves, split at the channel ----------------------
+
+    def last_stage(self, y):
+        # out_specs concatenated the pp stages on axis 0: (pp*n_micro, ...)
+        # -> the LAST stage's (n_micro, ...) block holds the real outputs
+        return y.reshape((self.pp, self.n_micro) + y.shape[1:])[-1]
+
+    def micro(self, x):
+        return x.reshape((self.n_micro, self.mb) + x.shape[1:])
+
+    def encode(self, params, inp, enc_mask, k_emb, k_pipe):
+        """embed (replicated) -> pipelined encoder stack -> channel
+        encoder; returns the power-normalized tx symbols (B, L, Cdim)."""
+        cfg, rest = self.cfg, params["rest"]
+        x = self.embed_enc.apply(
+            {"params": rest["semantic_encoder"]["embed"]}, inp,
+            deterministic=False, rngs={"dropout": k_emb})
+        h_enc = self.last_stage(self.enc_pipe(
+            params["enc_stack"], self.micro(x), self.micro(enc_mask),
+            k_pipe))
+        sema = h_enc.reshape((cfg.bs,) + h_enc.shape[2:])
+        return self.chan_enc.apply({"params": rest["channel_encoder"]}, sema)
+
+    def transmit(self, k_ch, tx, p, pnr_db, n_std):
+        """Channel sim on the full batch at once — identical to the
+        single-device stage composition (models/transceiver.py:51-76)."""
+        return channel_fn(k_ch, tx, p, pnr_db, n_std, kind=self.kind,
+                          equalizer=self.cfg.equalizer,
+                          per_sample=self.cfg.fading_per_sample)
+
+    def decode_loss(self, params, y, tar_inp, tar_real, combined_mask,
+                    dec_mask, k_emb, k_pipe):
+        """channel decoder -> embed -> pipelined decoder stack -> fused
+        projection+CE; differentiable in `y` (the FGM attack point)."""
+        cfg, rest = self.cfg, params["rest"]
+        mem = self.chan_dec.apply({"params": rest["channel_decoder"]}, y)
+        xd = self.embed_dec.apply(
+            {"params": rest["semantic_decoder"]["embed"]}, tar_inp,
+            deterministic=False, rngs={"dropout": k_emb})
+        h_dec = self.last_stage(self.dec_pipe(
+            params["dec_stack"], self.micro(xd),
+            (self.micro(mem), self.micro(combined_mask),
+             self.micro(dec_mask)),
+            k_pipe))
+        hidden = h_dec.reshape((cfg.bs,) + h_dec.shape[2:])
+        W, bb = _final_wb(rest)
+        return fused_ce_loss(hidden, W, bb, tar_real,
+                             chunk=cfg.ce_chunk, **self.lkw)
+
+    # --- jit plumbing -----------------------------------------------------
+
+    def state_shardings(self, state):
+        rule = _pp_spec_rule(self.pp_axis)
+
+        def nsh(path, leaf):
+            return NamedSharding(self.mesh, rule(path, leaf))
+
+        pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
+        ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
+        especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
+                  if state.ema_params is not None else None)
+        repl = NamedSharding(self.mesh, P())
+        return TrainState(step=repl, params=pspecs, opt_state=ospecs,
+                          tx=state.tx, ema_params=especs,
+                          ema_decay=state.ema_decay)
+
+    def jit_maker(self, step, n_scalars: int):
+        """Curried maker: state -> jitted step with pp/dp shardings pinned
+        (inp, tar data-sharded over dp; `n_scalars` trailing replicated
+        scalar args)."""
+
+        def make(state):
+            sshard = self.state_shardings(state)
+            repl = NamedSharding(self.mesh, P())
+            data = (NamedSharding(self.mesh, P(self.dp_in_mesh))
+                    if self.dp_in_mesh else repl)
+            return jax.jit(
+                step,
+                in_shardings=(sshard, data, data) + (repl,) * n_scalars,
+                out_shardings=(sshard, repl))
+
+        return make
+
+
 def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
                        channel_kind: Optional[str] = None,
                        pp_axis: str = "pp",
                        dp_axis: Optional[str] = "dp") -> Callable:
     """Pipeline(+data)-parallel plain train step for the vanilla
-    transceiver. Returns jitted `step(state, inp, tar, key, n_std) ->
-    (state, loss)` with `state` in the pp layout (create_pp_train_state).
+    transceiver. Returns a curried maker: `make_pp_train_step(...)(state)`
+    -> jitted `step(state, inp, tar, key, n_std) -> (state, loss)` with
+    `state` in the pp layout (create_pp_train_state).
 
     Requires encoder_num_layer % pp == decoder_num_layer % pp == 0 and
     cfg.bs % (n_micro * dp) == 0. `dp_axis=None` (or absent from the
     mesh) gives a pure-pp 1-D pipeline."""
-    kind = channel_kind or cfg.channel
-    lkw = _loss_kwargs(cfg)
-    pp = mesh.shape[pp_axis]
-    dp = mesh.shape.get(dp_axis, 1) if dp_axis else 1
-    dp_in_mesh = dp_axis if (dp_axis and dp_axis in mesh.shape) else None
-    ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
-    if ne % pp or nd % pp:
-        raise ValueError(
-            f"pp={pp} must divide the layer counts ({ne}, {nd})")
-    if cfg.bs % (n_micro * dp):
-        raise ValueError(
-            f"batch {cfg.bs} % (n_micro*dp = {n_micro}*{dp}) != 0")
-    mb = cfg.bs // n_micro
-    dtype = jnp.dtype(cfg.dtype)
-    param_dtype = jnp.dtype(cfg.param_dtype)
-
-    enc_layer = EncoderLayer(cfg.encoder_d_model, cfg.encoder_num_heads,
-                             cfg.encoder_d_ff, cfg.encoder_dropout,
-                             cfg.ffn_mode, dtype=dtype,
-                             param_dtype=param_dtype)
-    dec_layer = DecoderLayer(cfg.decoder_d_model, cfg.decoder_num_heads,
-                             cfg.decoder_d_ff, cfg.decoder_dropout,
-                             cfg.ffn_mode, dtype=dtype,
-                             param_dtype=param_dtype)
-    embed_enc = TokenEmbed(cfg.vocab_size, cfg.encoder_d_model,
-                           cfg.encoder_dropout, dtype=dtype,
-                           param_dtype=param_dtype)
-    embed_dec = TokenEmbed(cfg.vocab_size, cfg.decoder_d_model,
-                           cfg.decoder_dropout, dtype=dtype,
-                           param_dtype=param_dtype)
-    chan_enc = ChannelEncoder(cfg.channel_hidden, cfg.channel_dim,
-                              dtype=dtype, param_dtype=param_dtype)
-    chan_dec = ChannelDecoder(cfg.decoder_d_model, cfg.channel_dec_hidden,
-                              dtype=dtype, param_dtype=param_dtype)
-
-    def _dp_key(key):
-        # distinct dropout masks per dp shard (rows differ across shards);
-        # no-op when dropout == 0 (flax Dropout short-circuits rate 0)
-        if dp_in_mesh:
-            return jax.random.fold_in(
-                key, jax.lax.axis_index(dp_in_mesh))
-        return key
-
-    def enc_apply(p_layer, h, mask, key):
-        return enc_layer.apply({"params": p_layer}, h, mask,
-                               deterministic=False,
-                               rngs={"dropout": _dp_key(key)})
-
-    def dec_apply(p_layer, h, ex, key):
-        mem, lam, pm = ex
-        return dec_layer.apply({"params": p_layer}, h, mem, lam, pm,
-                               deterministic=False,
-                               rngs={"dropout": _dp_key(key)})
-
-    if cfg.remat:
-        enc_apply = jax.checkpoint(enc_apply, prevent_cse=False)
-        dec_apply = jax.checkpoint(dec_apply, prevent_cse=False)
-
-    kl_e, kl_d = ne // pp, nd // pp
-    stack_spec = P(pp_axis)
-    # microbatch rows over dp, microbatch index replicated over pp
-    data_spec = P(None, dp_in_mesh) if dp_in_mesh else P(None)
-
-    def enc_pipe(local_stack, x_mb, mask_mb, key):
-        return _gpipe(enc_apply, local_stack, x_mb, mask_mb, key,
-                      kl_e, pp, pp_axis)
-
-    def dec_pipe(local_stack, x_mb, extras, key):
-        return _gpipe(dec_apply, local_stack, x_mb, extras, key,
-                      kl_d, pp, pp_axis)
-
-    enc_pipe = shard_map(
-        enc_pipe, mesh=mesh,
-        in_specs=(stack_spec, data_spec, data_spec, P()),
-        out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
-        else P(pp_axis),
-        check_vma=False)
-    dec_pipe = shard_map(
-        dec_pipe, mesh=mesh,
-        in_specs=(stack_spec, data_spec,
-                  (data_spec, data_spec, data_spec), P()),
-        out_specs=P(pp_axis, dp_in_mesh) if dp_in_mesh
-        else P(pp_axis),
-        check_vma=False)
-
-    def last_stage(y):
-        # out_specs concatenated the pp stages on axis 0: (pp*n_micro, ...)
-        # -> the LAST stage's (n_micro, ...) block holds the real outputs
-        return y.reshape((pp, n_micro) + y.shape[1:])[-1]
-
-    def micro(x):
-        return x.reshape((n_micro, mb) + x.shape[1:])
+    fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
+                    dp_axis)
 
     def step(state: TrainState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
@@ -342,62 +451,82 @@ def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
         k_emb_e, k_emb_d, k_enc, k_dec = jax.random.split(k_do, 4)
 
         def loss_fn(params):
-            rest = params["rest"]
-            # --- encoder side: embed (replicated) -> pipelined stack
-            x = embed_enc.apply(
-                {"params": rest["semantic_encoder"]["embed"]}, inp,
-                deterministic=False, rngs={"dropout": k_emb_e})
-            h_enc = last_stage(enc_pipe(
-                params["enc_stack"], micro(x), micro(enc_mask), k_enc))
-            sema = h_enc.reshape((cfg.bs,) + h_enc.shape[2:])
-
-            # --- bridge: channel codec + channel sim, full batch at once
-            # (identical to the single-device stage composition,
-            # models/transceiver.py:51-76)
-            tx_sym = chan_enc.apply(
-                {"params": rest["channel_encoder"]}, sema)
-            y = channel_fn(k_ch, tx_sym, p, 0.0, n_std_t, kind=kind,
-                           equalizer=cfg.equalizer,
-                           per_sample=cfg.fading_per_sample)
-            mem = chan_dec.apply({"params": rest["channel_decoder"]}, y)
-
-            # --- decoder side: embed -> pipelined stack -> fused CE
-            xd = embed_dec.apply(
-                {"params": rest["semantic_decoder"]["embed"]}, tar_inp,
-                deterministic=False, rngs={"dropout": k_emb_d})
-            h_dec = last_stage(dec_pipe(
-                params["dec_stack"], micro(xd),
-                (micro(mem), micro(combined_mask), micro(dec_mask)),
-                k_dec))
-            hidden = h_dec.reshape((cfg.bs,) + h_dec.shape[2:])
-            W, bb = _final_wb(rest)
-            return fused_ce_loss(hidden, W, bb, tar_real,
-                                 chunk=cfg.ce_chunk, **lkw)
+            tx_sym = fw.encode(params, inp, enc_mask, k_emb_e, k_enc)
+            y = fw.transmit(k_ch, tx_sym, p, 0.0, n_std_t)
+            return fw.decode_loss(params, y, tar_inp, tar_real,
+                                  combined_mask, dec_mask, k_emb_d, k_dec)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    rule = _pp_spec_rule(pp_axis)
+    return fw.jit_maker(step, n_scalars=2)
 
-    def shardings_of(state):
-        def nsh(path, leaf):
-            return NamedSharding(mesh, rule(path, leaf))
 
-        pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
-        ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
-        especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
-                  if state.ema_params is not None else None)
-        repl = NamedSharding(mesh, P())
-        return TrainState(step=repl, params=pspecs, opt_state=ospecs,
-                          tx=state.tx, ema_params=especs,
-                          ema_decay=state.ema_decay)
+def make_pp_attack_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
+                        channel_kind: Optional[str] = None,
+                        adv_weight: float = 1.0,
+                        pp_axis: str = "pp",
+                        dp_axis: Optional[str] = "dp") -> Callable:
+    """Pipeline(+data)-parallel FGM adversarial step (the reference's core
+    robust-training loop, `train_attack_step` utlis/trainer.py:30-64) for
+    the vanilla transceiver.
 
-    def make(state):
-        sshard = shardings_of(state)
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(dp_in_mesh)) if dp_in_mesh else repl
-        return jax.jit(step,
-                       in_shardings=(sshard, data, data, repl, repl),
-                       out_shardings=(sshard, repl))
+    Two pipelined forwards per update, exactly the single-device
+    make_train_attack_step schedule:
+      phase 1 — encode pipeline -> channel (p=0) -> grad of the decode-side
+        loss w.r.t. the RECEIVED symbols y (the ppermute loops transpose,
+        so the backward pipeline runs stage pp-1 -> 0 automatically);
+        r = fgm_normalize(g_y, eps).
+      phase 2 — full pipelined forward with perturbation p=r; update on
+        the (mixed) adversarial objective (`adv_weight` semantics as in
+        train/steps.py:make_train_attack_step; reference = 1.0).
 
-    return make
+    With dropout=0 the losses/updates match the single-device step to
+    reduction-order tolerance (tests/test_pipeline.py). Returns a curried
+    maker: `(state) -> step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (state, (clean_loss, adv_loss))`."""
+    from deepsc_gan_tpu.train.attacks import fgm_normalize
+
+    fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
+                    dp_axis)
+
+    def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical channel-key split to the single-device attack step so
+        # the dropout-free losses match at the same key
+        k_ch1, k_ch2, k_do1, k_do2 = jax.random.split(key, 4)
+        ke1, kd1, kpe1, kpd1 = jax.random.split(k_do1, 4)
+        ke2, kd2, kpe2, kpd2 = jax.random.split(k_do2, 4)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        # ---- phase 1: forward at p=0, grad of loss w.r.t. received y
+        def loss_wrt_y(y, params):
+            return fw.decode_loss(params, y, tar_inp, tar_real,
+                                  combined_mask, dec_mask, kd1, kpd1)
+
+        tx_sym = fw.encode(state.params, inp, enc_mask, ke1, kpe1)
+        y1 = fw.transmit(k_ch1, tx_sym, p0, pnr_db, n_std)
+        clean_loss, g_y = jax.value_and_grad(loss_wrt_y)(y1, state.params)
+        r = fgm_normalize(g_y, epsilon)
+
+        # ---- phase 2: forward with p = r; update on the (mixed) objective
+        def adv_loss_fn(params):
+            tx2 = fw.encode(params, inp, enc_mask, ke2, kpe2)
+            y_adv = fw.transmit(k_ch2, tx2, r, pnr_db, n_std)
+            adv = fw.decode_loss(params, y_adv, tar_inp, tar_real,
+                                 combined_mask, dec_mask, kd2, kpd2)
+            if adv_weight >= 1.0:
+                return adv, adv  # reference behavior: adversarial only
+            y_c = fw.transmit(k_ch2, tx2, p0, pnr_db, n_std)
+            clean = fw.decode_loss(params, y_c, tar_inp, tar_real,
+                                   combined_mask, dec_mask, kd2, kpd2)
+            return adv_weight * adv + (1.0 - adv_weight) * clean, adv
+
+        (_, adv_loss), grads = jax.value_and_grad(
+            adv_loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), (clean_loss, adv_loss)
+
+    return fw.jit_maker(step, n_scalars=4)

@@ -132,3 +132,68 @@ def test_pp_with_remat_and_flagship_recipe():
     _, l_ref = ref_step(ref_state, _batch(cfg), _batch(cfg), k, 0.1)
     _, l_pp = step(pp_state, _batch(cfg), _batch(cfg), k, 0.1)
     np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5)
+
+
+@pytest.mark.parametrize("pp,dp,n_micro", [(2, None, 4), (2, 2, 2)])
+def test_pp_attack_step_matches_single_device(pp, dp, n_micro):
+    """FGM adversarial pp step == single-device make_train_attack_step at
+    dropout=0: same clean/adv losses and same Adam updates."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_attack_step(model, cfg)
+
+    mesh = _mesh(pp, dp)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh)
+    step = make_pp_attack_step(model, cfg, mesh, n_micro=n_micro,
+                               dp_axis="dp" if dp else None)(pp_state)
+
+    inp = _batch(cfg)
+    for s in range(2):
+        k = jax.random.PRNGKey(200 + s)
+        ref_state, (cl_ref, adv_ref) = ref_step(ref_state, inp, inp, k,
+                                                0.0, 0.1, 1.0)
+        pp_state, (cl_pp, adv_pp) = step(pp_state, inp, inp, k,
+                                         0.0, 0.1, 1.0)
+        np.testing.assert_allclose(float(cl_pp), float(cl_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(adv_pp), float(adv_ref),
+                                   rtol=2e-5, atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_pp_attack_step_adv_weight_mix():
+    """adv_weight<1 mixes clean+adv objectives; runs and returns finite
+    losses (objective mix semantics shared with train/steps.py)."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    mesh = _mesh(2)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh)
+    step = make_pp_attack_step(model, cfg, mesh, n_micro=2, adv_weight=0.5,
+                               dp_axis=None)(pp_state)
+
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_attack_step(model, cfg, adv_weight=0.5)
+
+    inp = _batch(cfg)
+    k = jax.random.PRNGKey(42)
+    ref_state, (cl_ref, adv_ref) = ref_step(ref_state, inp, inp, k,
+                                            0.0, 0.1, 1.0)
+    pp_state, (cl_pp, adv_pp) = step(pp_state, inp, inp, k, 0.0, 0.1, 1.0)
+    np.testing.assert_allclose(float(adv_pp), float(adv_ref),
+                               rtol=2e-5, atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
