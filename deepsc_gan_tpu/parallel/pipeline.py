@@ -24,6 +24,11 @@ TPU-native design — the shard_map + ppermute microbatch schedule (the
     encoder/decoder + channel sim, final projection + fused CE — is tiny
     (HBM and FLOPs both dominated by the stacks at depth) and runs
     replicated over pp / GSPMD-sharded over dp between the two loops.
+  - `tp` composes as a third mesh axis (pp x tp x dp): the vocab-owning
+    params shard over tp and the projection+CE runs as the explicit-
+    collective vocab-parallel CE (tensor_parallel.py) with its ROWS
+    sharded over (pp, dp) — so the one op that dominates FLOPs at
+    reference scale uses every chip of the 3-D mesh.
   - The backward is jax.grad through the whole thing: ppermute transposes
     to the reverse permute, so the backward pipeline runs automatically
     in the opposite direction with the same schedule.
@@ -110,24 +115,40 @@ def from_pp_params(pp: dict, cfg: Config) -> dict:
     return out
 
 
-def _pp_spec_rule(pp_axis: str):
-    """Leaves under enc_stack/dec_stack are sharded on the layer axis."""
+def _pp_spec_rule(pp_axis: str, cfg: Optional[Config] = None,
+                  tp_axis: Optional[str] = None):
+    """Leaves under enc_stack/dec_stack are sharded on the layer axis.
+    With `tp_axis` (pp x tp composition) the vocab-owning params in
+    `rest` — final projection / tied decoder table / output bias — are
+    additionally sharded on the vocab axis (tensor_parallel.py rule)."""
+    vocab_rule = None
+    if tp_axis is not None and cfg is not None:
+        from deepsc_gan_tpu.parallel.tensor_parallel import (
+            _vocab_param_spec)
+        vocab_rule = _vocab_param_spec(cfg, tp_axis)
 
     def spec(path, leaf):
         keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
         if ("enc_stack" in keys or "dec_stack" in keys) and getattr(
                 leaf, "ndim", 0) >= 1:
             return P(pp_axis)
+        if vocab_rule is not None:
+            s = vocab_rule(path, leaf)
+            if getattr(leaf, "ndim", 0) >= len(s):
+                return s
         return P()
 
     return spec
 
 
 def create_pp_train_state(model, cfg: Config, key, mesh: Mesh,
-                          pp_axis: str = "pp", **init_kwargs) -> TrainState:
+                          pp_axis: str = "pp",
+                          tp_axis: Optional[str] = None,
+                          **init_kwargs) -> TrainState:
     """Init a TrainState in the pipeline layout, layer stacks (and their
-    fresh Adam moments) sharded over `pp`. Use from_pp_params on
-    state.params for eval/checkpoint interop."""
+    fresh Adam moments) sharded over `pp` (and, with `tp_axis`, the
+    vocab-owning params over tp). Use from_pp_params on state.params for
+    eval/checkpoint interop."""
     base = create_train_state(model, cfg, key, **init_kwargs)
     pp_params = to_pp_params(base.params, cfg)
     tx = base.tx
@@ -136,7 +157,7 @@ def create_pp_train_state(model, cfg: Config, key, mesh: Mesh,
                        ema_params=(to_pp_params(base.ema_params, cfg)
                                    if base.ema_params is not None else None),
                        ema_decay=base.ema_decay)
-    return shard_pp_state(state, mesh, pp_axis)
+    return shard_pp_state(state, mesh, pp_axis, cfg=cfg, tp_axis=tp_axis)
 
 
 def pp_state_to_standard(state: TrainState, cfg: Config) -> TrainState:
@@ -153,10 +174,12 @@ def pp_state_to_standard(state: TrainState, cfg: Config) -> TrainState:
 
 
 def shard_pp_state(state: TrainState, mesh: Mesh,
-                   pp_axis: str = "pp") -> TrainState:
+                   pp_axis: str = "pp", cfg: Optional[Config] = None,
+                   tp_axis: Optional[str] = None) -> TrainState:
     """Place a pp-layout TrainState on the mesh: stack leaves sharded on
-    the layer axis over pp, everything else replicated."""
-    rule = _pp_spec_rule(pp_axis)
+    the layer axis over pp, vocab-owning params over tp when `tp_axis`
+    (and cfg) are given, everything else replicated."""
+    rule = _pp_spec_rule(pp_axis, cfg, tp_axis)
 
     def put(path, leaf):
         return jax.device_put(leaf, NamedSharding(mesh, rule(path, leaf)))
@@ -242,7 +265,7 @@ class _PPForward:
 
     def __init__(self, model, cfg: Config, mesh: Mesh, n_micro: int,
                  channel_kind: Optional[str], pp_axis: str,
-                 dp_axis: Optional[str]):
+                 dp_axis: Optional[str], tp_axis: Optional[str] = None):
         self.kind = channel_kind or cfg.channel
         self.lkw = _loss_kwargs(cfg)
         self.cfg = cfg
@@ -250,6 +273,14 @@ class _PPForward:
         dp = mesh.shape.get(dp_axis, 1) if dp_axis else 1
         dp_in_mesh = self.dp_in_mesh = (
             dp_axis if (dp_axis and dp_axis in mesh.shape) else None)
+        self.tp_in_mesh = (tp_axis if (tp_axis and tp_axis in mesh.shape
+                                       and mesh.shape[tp_axis] > 1)
+                           else None)
+        if self.tp_in_mesh and cfg.vocab_size % mesh.shape[self.tp_in_mesh]:
+            raise ValueError(
+                f"vocab {cfg.vocab_size} % tp "
+                f"{mesh.shape[self.tp_in_mesh]} != 0 — pad the vocab "
+                "(Config.vocab_size) to a multiple of tp")
         self.pp_axis, self.mesh, self.n_micro = pp_axis, mesh, n_micro
         ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
         if type(model).__name__ != "Transceiver":
@@ -339,6 +370,46 @@ class _PPForward:
             else P(pp_axis),
             check_vma=False)
 
+        # --- pp x tp: vocab-parallel projection+CE (tensor_parallel.py
+        # recipe) with the CE ROWS sharded over (pp, dp) — the projection
+        # matmul, the FLOPs-dominant op at reference scale, then uses
+        # every chip instead of idling the pp groups — and the vocab axis
+        # over tp. Falls back to rows-over-dp when B*L doesn't divide.
+        self._ce_mapped = None
+        if self.tp_in_mesh:
+            from deepsc_gan_tpu.parallel.tensor_parallel import (
+                vocab_parallel_ce_rows)
+            tp_name = self.tp_in_mesh
+            vs = cfg.vocab_size // mesh.shape[tp_name]
+            alpha = self.lkw.get("label_smoothing") or 0.0
+            n_rows = cfg.bs * (cfg.seq_len - 1)  # tar_real = tar[:, 1:]
+            row_axes = tuple(
+                a for a in (pp_axis, dp_in_mesh)
+                if a is not None)
+            n_shards = 1
+            for a in row_axes:
+                n_shards *= mesh.shape[a]
+            if n_rows % n_shards:
+                row_axes = (dp_in_mesh,) if dp_in_mesh else ()
+                n_shards = mesh.shape[dp_in_mesh] if dp_in_mesh else 1
+
+            def ce_shard(hidden, W, b, labels, mask):
+                n_global = hidden.shape[0] * n_shards
+                off = jax.lax.axis_index(tp_name) * vs
+                ce = vocab_parallel_ce_rows(hidden, W, b, labels, off,
+                                            tp_name, alpha, cfg.vocab_size)
+                s = jnp.sum(ce * mask)
+                if row_axes:
+                    s = jax.lax.psum(s, row_axes)
+                return s / n_global
+
+            row_spec = P(row_axes) if row_axes else P()
+            self._ce_mapped = shard_map(
+                ce_shard, mesh=mesh,
+                in_specs=(row_spec, P(None, tp_name), P(tp_name),
+                          row_spec, row_spec),
+                out_specs=P(), check_vma=False)
+
     # --- the forward's halves, split at the channel ----------------------
 
     def last_stage(self, y):
@@ -385,13 +456,23 @@ class _PPForward:
             k_pipe))
         hidden = h_dec.reshape((cfg.bs,) + h_dec.shape[2:])
         W, bb = _final_wb(rest)
+        if self._ce_mapped is not None:
+            # vocab-sharded explicit-collective CE (pp x tp); same mask
+            # and mean-over-all-positions semantics as fused_ce_loss
+            mask = (tar_real != cfg.pad_idx).astype(jnp.float32)
+            for tid in (self.lkw.get("extra_masked_ids") or ()):
+                mask = mask * (tar_real != tid).astype(jnp.float32)
+            d = hidden.shape[-1]
+            return self._ce_mapped(
+                hidden.reshape(-1, d).astype(jnp.float32), W, bb,
+                tar_real.reshape(-1).astype(jnp.int32), mask.reshape(-1))
         return fused_ce_loss(hidden, W, bb, tar_real,
                              chunk=cfg.ce_chunk, **self.lkw)
 
     # --- jit plumbing -----------------------------------------------------
 
     def state_shardings(self, state):
-        rule = _pp_spec_rule(self.pp_axis)
+        rule = _pp_spec_rule(self.pp_axis, self.cfg, self.tp_in_mesh)
 
         def nsh(path, leaf):
             return NamedSharding(self.mesh, rule(path, leaf))
@@ -426,7 +507,8 @@ class _PPForward:
 def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
                        channel_kind: Optional[str] = None,
                        pp_axis: str = "pp",
-                       dp_axis: Optional[str] = "dp") -> Callable:
+                       dp_axis: Optional[str] = "dp",
+                       tp_axis: Optional[str] = None) -> Callable:
     """Pipeline(+data)-parallel plain train step for the vanilla
     transceiver. Returns a curried maker: `make_pp_train_step(...)(state)`
     -> jitted `step(state, inp, tar, key, n_std) -> (state, loss)` with
@@ -434,9 +516,11 @@ def make_pp_train_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
 
     Requires encoder_num_layer % pp == decoder_num_layer % pp == 0 and
     cfg.bs % (n_micro * dp) == 0. `dp_axis=None` (or absent from the
-    mesh) gives a pure-pp 1-D pipeline."""
+    mesh) gives a pure-pp 1-D pipeline. `tp_axis` (present in the mesh)
+    composes vocab tensor parallelism: the final projection + CE runs
+    vocab-sharded over tp with rows over (pp, dp) — see _PPForward."""
     fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
-                    dp_axis)
+                    dp_axis, tp_axis)
 
     def step(state: TrainState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
@@ -466,7 +550,8 @@ def make_pp_attack_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
                         channel_kind: Optional[str] = None,
                         adv_weight: float = 1.0,
                         pp_axis: str = "pp",
-                        dp_axis: Optional[str] = "dp") -> Callable:
+                        dp_axis: Optional[str] = "dp",
+                        tp_axis: Optional[str] = None) -> Callable:
     """Pipeline(+data)-parallel FGM adversarial step (the reference's core
     robust-training loop, `train_attack_step` utlis/trainer.py:30-64) for
     the vanilla transceiver.
@@ -488,7 +573,7 @@ def make_pp_attack_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
     from deepsc_gan_tpu.train.attacks import fgm_normalize
 
     fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
-                    dp_axis)
+                    dp_axis, tp_axis)
 
     def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
         tar_inp, tar_real = _shift_targets(tar)

@@ -197,3 +197,85 @@ def test_pp_attack_step_adv_weight_mix():
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def _mesh3(pp, tp, dp):
+    devs = np.array(jax.devices()[: pp * tp * dp])
+    return Mesh(devs.reshape(pp, tp, dp), ("pp", "tp", "dp"))
+
+
+@pytest.mark.parametrize("pp,tp,dp,n_micro", [(2, 2, 1, 2), (2, 2, 2, 2)])
+def test_pp_tp_step_matches_single_device(pp, tp, dp, n_micro):
+    """pp x tp (x dp) 3-D mesh: vocab-sharded CE inside the pipeline step
+    == single-device step (losses and Adam updates) at dropout=0."""
+    cfg = _cfg(tie_embeddings=True, label_smoothing=0.1)
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_step(model, cfg)
+
+    mesh = _mesh3(pp, tp, dp)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh, tp_axis="tp")
+    step = make_pp_train_step(model, cfg, mesh, n_micro=n_micro,
+                              tp_axis="tp")(pp_state)
+
+    inp = _batch(cfg)
+    for s in range(2):
+        k = jax.random.PRNGKey(300 + s)
+        ref_state, l_ref = ref_step(ref_state, inp, inp, k, 0.1)
+        pp_state, l_pp = step(pp_state, inp, inp, k, 0.1)
+        np.testing.assert_allclose(float(l_pp), float(l_ref),
+                                   rtol=2e-5, atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_pp_tp_vocab_params_sharded():
+    """Under pp x tp the tied decoder table rides the tp axis and the
+    layer stacks ride pp."""
+    cfg = _cfg(tie_embeddings=True)
+    model = make_model(cfg, "transformer")
+    mesh = _mesh3(2, 2, 2)
+    st = create_pp_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                               tp_axis="tp")
+    table = st.params["rest"]["semantic_decoder"]["embed"]["embedding"][
+        "embedding"]
+    shard_rows = {s.data.shape[0] for s in table.addressable_shards}
+    assert shard_rows == {cfg.vocab_size // 2}
+    leaf = jax.tree.leaves(st.params["enc_stack"])[0]
+    assert all(s.data.shape[0] == cfg.encoder_num_layer // 2
+               for s in leaf.addressable_shards)
+
+
+def test_pp_tp_attack_step_matches_single_device():
+    """FGM adversarial step on the full pp2 x tp2 x dp2 3-D mesh ==
+    single-device attack step at dropout=0."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0)
+    ref_step = make_train_attack_step(model, cfg)
+
+    mesh = _mesh3(2, 2, 2)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh, tp_axis="tp")
+    step = make_pp_attack_step(model, cfg, mesh, n_micro=2,
+                               tp_axis="tp")(pp_state)
+
+    inp = _batch(cfg)
+    k = jax.random.PRNGKey(400)
+    ref_state, (cl_ref, adv_ref) = ref_step(ref_state, inp, inp, k,
+                                            0.0, 0.1, 1.0)
+    pp_state, (cl_pp, adv_pp) = step(pp_state, inp, inp, k, 0.0, 0.1, 1.0)
+    np.testing.assert_allclose(float(cl_pp), float(cl_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(adv_pp), float(adv_ref),
+                               rtol=2e-5, atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
