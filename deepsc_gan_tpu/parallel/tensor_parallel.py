@@ -127,18 +127,13 @@ def _vocab_param_spec(cfg: Config, tp_axis: str):
     return spec
 
 
-def make_tp_train_step(model, cfg: Config, mesh: Mesh,
-                       channel_kind: Optional[str] = None,
-                       dp_axis: str = "dp", tp_axis: str = "tp") -> Callable:
-    """Data- AND tensor-parallel train step over a (dp, tp) mesh.
-
-    Supports the full flagship recipe — tied embeddings and label
-    smoothing included (round-2 gates lifted). Returns a curried maker:
-    `make_tp_train_step(model, cfg, mesh)(state)` -> jitted
-    `step(state, inp, tar, key, n_std) -> (state, loss)`; use
-    `shard_tp_state` to place the state before the first call."""
-    kind = channel_kind or cfg.channel
-    lkw = _loss_kwargs(cfg)
+def _build_ce_mapped(cfg: Config, mesh: Mesh, dp_axis: str, tp_axis: str,
+                     lkw: dict):
+    """The explicit-collective CE: hidden rows sharded over dp, projection
+    weights over tp; returns the GLOBAL mean masked CE (the reference's
+    mean-over-all-positions semantics, ops/losses.loss_function).
+    Validates the mesh/config divisibility contracts shared by every tp
+    step."""
     ntp = mesh.shape[tp_axis]
     if cfg.vocab_size % ntp:
         raise ValueError(f"vocab {cfg.vocab_size} % tp {ntp} != 0 — pad the "
@@ -147,11 +142,6 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
         raise ValueError(f"batch {cfg.bs} % dp {mesh.shape[dp_axis]} != 0")
     vs = cfg.vocab_size // ntp
     alpha = lkw.get("label_smoothing") or 0.0
-    spec_rule = _vocab_param_spec(cfg, tp_axis)
-
-    # the explicit-collective CE: hidden rows sharded over dp, projection
-    # weights over tp; returns the GLOBAL mean masked CE (the reference's
-    # mean-over-all-positions semantics, ops/losses.loss_function)
     ndp = mesh.shape[dp_axis]
 
     def ce_shard(hidden, W, b, labels, mask):
@@ -165,12 +155,53 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
                                     alpha, cfg.vocab_size)
         return jax.lax.psum(jnp.sum(ce * mask), dp_axis) / n_global
 
-    ce_mapped = shard_map(
+    return shard_map(
         ce_shard, mesh=mesh,
         in_specs=(P(dp_axis), P(None, tp_axis), P(tp_axis), P(dp_axis),
                   P(dp_axis)),
         out_specs=P(),
         check_vma=False)
+
+
+def _make_hidden_loss(model, cfg: Config, lkw: dict, ce_mapped):
+    """Loss from a received channel output `y`: decode to hidden states
+    (GSPMD region), then the vocab-parallel projection+CE. Differentiable
+    in both `params` and `y` — the FGM attack's grad-wrt-y crosses the
+    shard_map CE via its transpose."""
+
+    def hidden_loss(params, tar_inp, y, combined_mask, dec_mask, k_do,
+                    tar_real):
+        hidden = model.apply({"params": params}, tar_inp, y, combined_mask,
+                             dec_mask, deterministic=False,
+                             rngs={"dropout": k_do},
+                             method="decode_loss_ready")
+        W, bb = _final_wb(params)
+        d = hidden.shape[-1]
+        mask = (tar_real != cfg.pad_idx).astype(jnp.float32)
+        for tid in (lkw.get("extra_masked_ids") or ()):
+            mask = mask * (tar_real != tid).astype(jnp.float32)
+        return ce_mapped(hidden.reshape(-1, d).astype(jnp.float32), W, bb,
+                         tar_real.reshape(-1).astype(jnp.int32),
+                         mask.reshape(-1))
+
+    return hidden_loss
+
+
+def make_tp_train_step(model, cfg: Config, mesh: Mesh,
+                       channel_kind: Optional[str] = None,
+                       dp_axis: str = "dp", tp_axis: str = "tp") -> Callable:
+    """Data- AND tensor-parallel train step over a (dp, tp) mesh.
+
+    Supports the full flagship recipe — tied embeddings and label
+    smoothing included (round-2 gates lifted). Returns a curried maker:
+    `make_tp_train_step(model, cfg, mesh)(state)` -> jitted
+    `step(state, inp, tar, key, n_std) -> (state, loss)`; use
+    `shard_tp_state` to place the state before the first call."""
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    spec_rule = _vocab_param_spec(cfg, tp_axis)
+    ce_mapped = _build_ce_mapped(cfg, mesh, dp_axis, tp_axis, lkw)
+    hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
 
     def step(state: TrainState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
@@ -193,43 +224,113 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
                                  rngs={"dropout": k_do}, method="encode")
             y = model.apply({"params": params}, k_ch, tx_sym, p, 0.0,
                             n_std_t, kind, method="transmit")
-            hidden = model.apply({"params": params}, tar_inp, y,
-                                 combined_mask, dec_mask,
-                                 deterministic=False,
-                                 rngs={"dropout": k_do},
-                                 method="decode_loss_ready")
-            W, bb = _final_wb(params)  # tied: E.T stays col-sharded
-            n, l, d = hidden.shape
-            mask = (tar_real != cfg.pad_idx).astype(jnp.float32)
-            for tid in (lkw.get("extra_masked_ids") or ()):
-                mask = mask * (tar_real != tid).astype(jnp.float32)
-            return ce_mapped(hidden.reshape(-1, d).astype(jnp.float32), W,
-                             bb, tar_real.reshape(-1).astype(jnp.int32),
-                             mask.reshape(-1))
+            return hidden_loss(params, tar_inp, y, combined_mask, dec_mask,
+                               k_do, tar_real)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    def state_shardings(state):
-        def nsh(path, leaf):
-            return NamedSharding(mesh, spec_rule(path, leaf))
-
-        pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
-        ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
-        especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
-                  if state.ema_params is not None else None)
-        repl = NamedSharding(mesh, P())
-        return TrainState(step=repl, params=pspecs, opt_state=ospecs,
-                          tx=state.tx, ema_params=especs,
-                          ema_decay=state.ema_decay)
-
     def make(state):
-        sshard = state_shardings(state)
+        sshard = _tp_state_shardings(mesh, spec_rule, state)
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(dp_axis))
         return jax.jit(step,
                        in_shardings=(sshard, data, data, repl, repl),
                        out_shardings=(sshard, repl))
+
+    return make
+
+
+def _tp_state_shardings(mesh: Mesh, spec_rule, state) -> TrainState:
+    """NamedSharding tree for a TrainState under the vocab-tp layout."""
+
+    def nsh(path, leaf):
+        return NamedSharding(mesh, spec_rule(path, leaf))
+
+    pspecs = jax.tree_util.tree_map_with_path(nsh, state.params)
+    ospecs = jax.tree_util.tree_map_with_path(nsh, state.opt_state)
+    especs = (jax.tree_util.tree_map_with_path(nsh, state.ema_params)
+              if state.ema_params is not None else None)
+    repl = NamedSharding(mesh, P())
+    return TrainState(step=repl, params=pspecs, opt_state=ospecs,
+                      tx=state.tx, ema_params=especs,
+                      ema_decay=state.ema_decay)
+
+
+def make_tp_attack_step(model, cfg: Config, mesh: Mesh,
+                        channel_kind: Optional[str] = None,
+                        adv_weight: float = 1.0,
+                        dp_axis: str = "dp",
+                        tp_axis: str = "tp") -> Callable:
+    """Data+tensor-parallel FGM adversarial step (the reference's core
+    robust-training loop, `train_attack_step` utlis/trainer.py:30-64) over
+    a (dp, tp) mesh.
+
+    Both FGM phases use the staged forward with the vocab-parallel
+    projection+CE: phase 1's grad-wrt-the-received-y differentiates
+    THROUGH the shard_map CE (its transpose re-uses the same collectives),
+    phase 2 updates params on the (mixed) adversarial objective exactly
+    like train.steps.make_train_attack_step — numerically equivalent to
+    the single-device step at dropout=0 and the same key
+    (tests/test_tensor_parallel.py). Returns a curried maker:
+    `make_tp_attack_step(...)(state)` -> jitted
+    `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (state, (clean_loss, adv_loss))`."""
+    from deepsc_gan_tpu.train.attacks import fgm_normalize
+
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    spec_rule = _vocab_param_spec(cfg, tp_axis)
+    ce_mapped = _build_ce_mapped(cfg, mesh, dp_axis, tp_axis, lkw)
+    hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
+
+    def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # same key split as the single-device attack step (train/steps.py)
+        k_ch1, k_ch2, k_do1, k_do2 = jax.random.split(key, 4)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        def encode_transmit(params, k_ch, k_do, p):
+            tx_sym = model.apply({"params": params}, inp, enc_mask,
+                                 deterministic=False,
+                                 rngs={"dropout": k_do}, method="encode")
+            return model.apply({"params": params}, k_ch, tx_sym, p, pnr_db,
+                               n_std, kind, method="transmit")
+
+        # ---- phase 1: forward with p=0, grad of loss w.r.t. received y
+        y1 = encode_transmit(state.params, k_ch1, k_do1, p0)
+        clean_loss, g_y = jax.value_and_grad(
+            lambda y: hidden_loss(state.params, tar_inp, y, combined_mask,
+                                  dec_mask, k_do1, tar_real))(y1)
+        r = fgm_normalize(g_y, epsilon)
+
+        # ---- phase 2: forward with p=r; update on the (mixed) objective
+        def adv_loss_fn(params):
+            y2 = encode_transmit(params, k_ch2, k_do2, r)
+            adv = hidden_loss(params, tar_inp, y2, combined_mask, dec_mask,
+                              k_do2, tar_real)
+            if adv_weight >= 1.0:
+                return adv, adv  # reference behavior: adversarial only
+            y2c = encode_transmit(params, k_ch2, k_do2, p0)
+            clean = hidden_loss(params, tar_inp, y2c, combined_mask,
+                                dec_mask, k_do2, tar_real)
+            return adv_weight * adv + (1.0 - adv_weight) * clean, adv
+
+        (_, adv_loss), grads = jax.value_and_grad(
+            adv_loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), (clean_loss, adv_loss)
+
+    def make(state):
+        sshard = _tp_state_shardings(mesh, spec_rule, state)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(dp_axis))
+        return jax.jit(step,
+                       in_shardings=(sshard, data, data, repl, repl, repl,
+                                     repl),
+                       out_shardings=(sshard, (repl, repl)))
 
     return make
 

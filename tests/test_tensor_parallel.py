@@ -151,3 +151,62 @@ def test_tp_step_with_ema_enabled(tiny_cfg, tiny_batch):
         for a, b in zip(jax.tree.leaves(s2.ema_params),
                         jax.tree.leaves(state.ema_params)))
     assert moved
+
+
+def test_tp_attack_step_matches_single_device(tiny_cfg, tiny_batch):
+    """FGM attack over a (dp=2, tp=2) mesh == the single-device attack
+    step at dropout=0 and the same key: losses (clean + adv) and the
+    updated params agree to reduction-order tolerance. Covers the
+    grad-wrt-y path THROUGH the shard_map CE."""
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40,
+                           encoder_dropout=0.0, decoder_dropout=0.0)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_attack_step(model, cfg)
+    s1, (c1, a1) = single(state, batch, batch, jax.random.PRNGKey(5),
+                          0.0, 0.1, 1.0)
+
+    mesh = _tp_mesh(2, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_attack_step(model, cfg, mesh)(state)
+    s2, (c2, a2) = step(state_tp, batch, batch, jax.random.PRNGKey(5),
+                        0.0, 0.1, 1.0)
+    assert np.isclose(float(c1), float(c2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(a1), float(a2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_attack_step_adv_weight_and_recipe(tiny_cfg, tiny_batch):
+    """adv_weight<1 mixed objective + the flagship tied+smoothed recipe
+    run under (dp=1, tp=2) and match the single-device step."""
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40, tie_embeddings=True,
+                           label_smoothing=0.1,
+                           encoder_dropout=0.0, decoder_dropout=0.0)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_attack_step(model, cfg, adv_weight=0.5)
+    s1, (c1, a1) = single(state, batch, batch, jax.random.PRNGKey(7),
+                          0.0, 0.1, 1.0)
+
+    mesh = _tp_mesh(1, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_attack_step(model, cfg, mesh, adv_weight=0.5)(state)
+    s2, (c2, a2) = step(state_tp, batch, batch, jax.random.PRNGKey(7),
+                        0.0, 0.1, 1.0)
+    assert np.isclose(float(c1), float(c2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(a1), float(a2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
