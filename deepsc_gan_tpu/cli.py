@@ -143,8 +143,6 @@ def cmd_train(args) -> None:
         if mode not in ("plain", "attack"):
             raise SystemExit(f"--pp supports plain/attack training; for "
                              f"mode={mode} use --dp")
-        if cfg.tp > 1:
-            raise SystemExit("--pp composes with --dp only (no pp x tp)")
         if variant != "transformer":
             raise SystemExit("--pp supports the vanilla transformer "
                              "variant (star codecs are not a homogeneous "
@@ -157,33 +155,50 @@ def cmd_train(args) -> None:
             make_pp_attack_step,
             make_pp_train_step,
         )
-        n_dev = cfg.pp * cfg.dp
+        n_dev = cfg.pp * cfg.tp * cfg.dp
         if len(jax.devices()) < n_dev:
-            raise SystemExit(f"--pp {cfg.pp} x --dp {cfg.dp} needs "
-                             f"{n_dev} devices, have {len(jax.devices())}")
-        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(cfg.pp, cfg.dp),
-                    ("pp", "dp"))
-        state = create_pp_train_state(model, cfg, key, mesh)
+            raise SystemExit(f"--pp {cfg.pp} x --tp {cfg.tp} x --dp "
+                             f"{cfg.dp} needs {n_dev} devices, have "
+                             f"{len(jax.devices())}")
+        # tp > 1 composes as a third mesh axis: the vocab projection+CE
+        # runs vocab-sharded inside the pp step (parallel/pipeline.py)
+        tp_ax = "tp" if cfg.tp > 1 else None
+        if tp_ax:
+            mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(
+                cfg.pp, cfg.tp, cfg.dp), ("pp", "tp", "dp"))
+        else:
+            mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(
+                cfg.pp, cfg.dp), ("pp", "dp"))
+        state = create_pp_train_state(model, cfg, key, mesh, tp_axis=tp_ax)
         if mode == "attack":
             step = make_pp_attack_step(
                 model, cfg, mesh, n_micro=cfg.pp_microbatches,
-                adv_weight=args.adv_weight)(state)
+                adv_weight=args.adv_weight, tp_axis=tp_ax)(state)
         else:
             step = make_pp_train_step(model, cfg, mesh,
-                                      n_micro=cfg.pp_microbatches)(state)
+                                      n_micro=cfg.pp_microbatches,
+                                      tp_axis=tp_ax)(state)
         path = f"mesh{dict(mesh.shape)}:gpipe-{mode}"
     elif cfg.dp > 1 or cfg.tp > 1:
         from deepsc_gan_tpu.parallel.mesh import make_mesh
         if cfg.tp > 1:
-            if mode != "plain":
-                raise SystemExit(f"--tp supports plain training; for "
-                                 f"mode={mode} use --dp (all modes scale "
-                                 f"data-parallel)")
+            if mode not in ("plain", "attack"):
+                raise SystemExit(f"--tp supports plain/attack training; "
+                                 f"for mode={mode} use --dp (all modes "
+                                 f"scale data-parallel)")
+            if mode == "attack" and _is_star(variant):
+                raise SystemExit("--tp attack supports the vanilla "
+                                 "transformer variant (star uses the "
+                                 "full-target objective — use --dp)")
             from deepsc_gan_tpu.parallel.tensor_parallel import (
-                make_tp_train_step, shard_tp_state)
+                make_tp_attack_step, make_tp_train_step, shard_tp_state)
             mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
                              axis_names=("tp", "dp"))
-            step = make_tp_train_step(model, cfg, mesh)(state)
+            if mode == "attack":
+                step = make_tp_attack_step(
+                    model, cfg, mesh, adv_weight=args.adv_weight)(state)
+            else:
+                step = make_tp_train_step(model, cfg, mesh)(state)
             state = shard_tp_state(state, mesh, cfg)
         else:
             from deepsc_gan_tpu.parallel.sharding import (
@@ -572,10 +587,21 @@ def cmd_export(args) -> None:
         return sweep(params, inp, jax.random.PRNGKey(seed), pnr_db, n_stds)
 
     import jax.numpy as jnp
-    ex_inp = jnp.zeros((cfg.bs, cfg.seq_len), jnp.int32)
-    ex_seed = jnp.zeros((), jnp.int32)
-    ex_pnr = jnp.zeros((), jnp.float32)
-    ex_nstd = jnp.ones((args.snr_points,), jnp.float32)
+    if args.static_shapes:
+        # pinned signature (for StableHLO consumers without dynamic-dim
+        # support): batch = cfg.bs, sweep length = --snr-points
+        ex_inp = jnp.zeros((cfg.bs, cfg.seq_len), jnp.int32)
+        ex_nstd = jnp.ones((args.snr_points,), jnp.float32)
+        b_str, s_str = str(cfg.bs), str(args.snr_points)
+    else:
+        # symbolic batch + sweep length (jax.export shape polymorphism):
+        # ONE artifact serves any batch size and any SNR-point count
+        b_sym, s_sym = jexport.symbolic_shape("b, s")
+        ex_inp = jax.ShapeDtypeStruct((b_sym, cfg.seq_len), jnp.int32)
+        ex_nstd = jax.ShapeDtypeStruct((s_sym,), jnp.float32)
+        b_str, s_str = "b", "s"
+    ex_seed = jax.ShapeDtypeStruct((), jnp.int32)
+    ex_pnr = jax.ShapeDtypeStruct((), jnp.float32)
     exp = jexport.export(jax.jit(serve))(ex_inp, ex_seed, ex_pnr, ex_nstd)
     blob = exp.serialize()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -584,8 +610,8 @@ def cmd_export(args) -> None:
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"[export] {args.out}: {len(blob) / 1e6:.1f} MB, "
           f"{n_params:,} params baked in, "
-          f"signature (inp[{cfg.bs},{cfg.seq_len}] i32, seed i32, "
-          f"pnr_db f32, n_stds[{args.snr_points}] f32) -> ids")
+          f"signature (inp[{b_str},{cfg.seq_len}] i32, seed i32, "
+          f"pnr_db f32, n_stds[{s_str}] f32) -> ids")
 
 
 def main(argv=None) -> None:
@@ -687,7 +713,13 @@ def main(argv=None) -> None:
     ex.add_argument("--variant", default="transformer",
                     choices=["transformer", "star", "star_multi", "gan"])
     ex.add_argument("--seed", type=int, default=0)
-    ex.add_argument("--snr-points", type=int, default=19)
+    ex.add_argument("--snr-points", type=int, default=19,
+                    help="sweep length for --static-shapes (the default "
+                         "artifact takes any length — and any batch — "
+                         "via symbolic dims)")
+    ex.add_argument("--static-shapes", action="store_true",
+                    help="pin batch (= --bs) and sweep length in the "
+                         "signature instead of exporting symbolic dims")
     ex.add_argument("--out", default="model_decode.stablehlo")
 
     args = parser.parse_args(argv)

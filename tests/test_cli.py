@@ -302,9 +302,11 @@ def test_cli_classical_baseline(tmp_path):
     assert bleu_attacked < bleu_clean  # attack collapses classical coding
 
 
-def test_cli_export_roundtrip(tmp_path):
-    """`export` writes a self-contained StableHLO blob that deserializes
-    and decodes without the package's model objects."""
+@pytest.mark.parametrize("variant", ["transformer", "star", "gan"])
+def test_cli_export_roundtrip(tmp_path, variant):
+    """`export` writes a self-contained StableHLO blob with SYMBOLIC batch
+    and sweep-length dims: one artifact deserializes and decodes at any
+    (B, S) without the package's model objects — for every variant."""
     import numpy as np
 
     out = str(tmp_path / "decode.stablehlo")
@@ -313,8 +315,30 @@ def test_cli_export_roundtrip(tmp_path):
         "--checkpoint-path", str(tmp_path / "ckpt"),
         "--log-save-path", str(tmp_path / "log"),
     ]
+    cli.main(["export", "--variant", variant, "--out", out] + common)
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    with open(out, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    for b, s in ((4, 2), (3, 5)):  # neither matches the export example
+        ids = exp.call(jnp.zeros((b, 12), jnp.int32), jnp.int32(0),
+                       jnp.float32(0.0), jnp.ones((s,), jnp.float32))
+        assert np.asarray(ids).shape == (s, b, 12)
+
+
+def test_cli_export_static_shapes(tmp_path):
+    """--static-shapes pins the signature to (cfg.bs, --snr-points)."""
+    import numpy as np
+
+    out = str(tmp_path / "decode_static.stablehlo")
+    common = TINY + [
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", str(tmp_path / "log"),
+    ]
     cli.main(["export", "--variant", "transformer", "--snr-points", "2",
-              "--out", out] + common)
+              "--static-shapes", "--out", out] + common)
     from jax import export as jexport
     import jax.numpy as jnp
 
@@ -322,8 +346,10 @@ def test_cli_export_roundtrip(tmp_path):
         exp = jexport.deserialize(f.read())
     ids = exp.call(jnp.zeros((4, 12), jnp.int32), jnp.int32(0),
                    jnp.float32(0.0), jnp.ones((2,), jnp.float32))
-    assert np.asarray(ids).shape[0] == 2  # (S, B, T+1)
-    assert np.asarray(ids).shape[1] == 4
+    assert np.asarray(ids).shape == (2, 4, 12)
+    with pytest.raises(Exception):  # pinned batch: b=3 must be rejected
+        exp.call(jnp.zeros((3, 12), jnp.int32), jnp.int32(0),
+                 jnp.float32(0.0), jnp.ones((2,), jnp.float32))
 
 
 def test_cli_train_pp_then_evaluate(tmp_path):
