@@ -140,12 +140,13 @@ def cmd_train(args) -> None:
         # GPipe pipeline parallelism over a (pp, dp) mesh
         # (parallel/pipeline.py); checkpoints are converted back to the
         # standard layout at save time so `evaluate` restores them
-        if mode not in ("plain", "attack"):
-            raise SystemExit(f"--pp supports plain/attack training; for "
-                             f"mode={mode} use --dp")
-        if variant != "transformer":
-            raise SystemExit("--pp supports the vanilla transformer "
-                             "variant (star codecs are not a homogeneous "
+        if mode not in ("plain", "attack", "gan"):
+            raise SystemExit(f"--pp supports plain/attack/gan training; "
+                             f"for mode={mode} use --dp")
+        want = "gan" if mode == "gan" else "transformer"
+        if variant != want:
+            raise SystemExit(f"--pp --train-mode {mode} needs --variant "
+                             f"{want} (star codecs are not a homogeneous "
                              "layer chain — use --dp/--tp)")
         import numpy as np
         from jax.sharding import Mesh
@@ -153,6 +154,7 @@ def cmd_train(args) -> None:
         from deepsc_gan_tpu.parallel.pipeline import (
             create_pp_train_state,
             make_pp_attack_step,
+            make_pp_gan_step,
             make_pp_train_step,
         )
         n_dev = cfg.pp * cfg.tp * cfg.dp
@@ -169,11 +171,16 @@ def cmd_train(args) -> None:
         else:
             mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(
                 cfg.pp, cfg.dp), ("pp", "dp"))
-        state = create_pp_train_state(model, cfg, key, mesh, tp_axis=tp_ax)
+        state = create_pp_train_state(model, cfg, key, mesh, tp_axis=tp_ax,
+                                      **init_kw)
         if mode == "attack":
             step = make_pp_attack_step(
                 model, cfg, mesh, n_micro=cfg.pp_microbatches,
                 adv_weight=args.adv_weight, tp_axis=tp_ax)(state)
+        elif mode == "gan":
+            step = make_pp_gan_step(model, cfg, mesh,
+                                    n_micro=cfg.pp_microbatches,
+                                    tp_axis=tp_ax)(state)
         else:
             step = make_pp_train_step(model, cfg, mesh,
                                       n_micro=cfg.pp_microbatches,

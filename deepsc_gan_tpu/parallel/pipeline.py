@@ -95,8 +95,10 @@ def to_pp_params(params: dict, cfg: Config) -> dict:
         "semantic_encoder": {"embed": enc["embed"]},
         "semantic_decoder": {k: v for k, v in dec.items()
                              if not k.startswith("layer")},
-        "channel_encoder": params["channel_encoder"],
-        "channel_decoder": params["channel_decoder"],
+        # channel codecs, and any extra top-level modules the variant
+        # carries (TransceiverGAN's generator) — replicated over pp
+        **{k: v for k, v in params.items()
+           if k not in ("semantic_encoder", "semantic_decoder")},
     }
     return {"enc_stack": stack(enc_layers), "dec_stack": stack(dec_layers),
             "rest": rest}
@@ -283,11 +285,12 @@ class _PPForward:
                 "(Config.vocab_size) to a multiple of tp")
         self.pp_axis, self.mesh, self.n_micro = pp_axis, mesh, n_micro
         ne, nd = cfg.encoder_num_layer, cfg.decoder_num_layer
-        if type(model).__name__ != "Transceiver":
+        if type(model).__name__ not in ("Transceiver", "TransceiverGAN"):
             raise ValueError(
-                "the pp steps rebuild the PLAIN transceiver from cfg; "
-                f"got variant {type(model).__name__} — its param tree "
-                "would not match the pipeline stages")
+                "the pp steps rebuild the vanilla enc/dec stacks from "
+                f"cfg; got variant {type(model).__name__} — its param "
+                "tree would not match the pipeline stages (star codecs "
+                "are not a homogeneous layer chain)")
         if ne % pp or nd % pp:
             raise ValueError(
                 f"pp={pp} must divide the layer counts ({ne}, {nd})")
@@ -615,3 +618,111 @@ def make_pp_attack_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
         return state.apply_gradients(grads), (clean_loss, adv_loss)
 
     return fw.jit_maker(step, n_scalars=4)
+
+
+def _pp_phase_mask(pp_params: dict, include=None, exclude=None):
+    """train/gan_steps.phase_mask semantics on the PIPELINE param layout:
+    enc_stack counts as `semantic_encoder`, dec_stack as
+    `semantic_decoder`, and rest's entries by their own top-level name
+    (embeds carry their owning module's name, so the reference's
+    name-based phase membership is preserved leaf-for-leaf)."""
+
+    def sel(name):
+        if include is not None:
+            return name in include
+        return name not in (exclude or ())
+
+    return {
+        "enc_stack": jax.tree.map(lambda _: sel("semantic_encoder"),
+                                  pp_params["enc_stack"]),
+        "dec_stack": jax.tree.map(lambda _: sel("semantic_decoder"),
+                                  pp_params["dec_stack"]),
+        "rest": {k: jax.tree.map(lambda _: sel(k), v)
+                 for k, v in pp_params["rest"].items()},
+    }
+
+
+def make_pp_gan_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
+                     channel_kind: Optional[str] = None,
+                     pp_axis: str = "pp",
+                     dp_axis: Optional[str] = "dp",
+                     tp_axis: Optional[str] = None) -> Callable:
+    """Pipeline(+data)-parallel GAN three-phase step (reference
+    `gan_train_step`, utlis/gan_train.py:8-50) for the TransceiverGAN.
+
+    One pipelined encode, generator on the tx symbols (tiny, replicated),
+    channel run twice (perturbed + clean), TWO pipelined decodes, three
+    losses, and the reference's three selective updates from ONE shared
+    Adam (train/gan_steps.selective_update with the phase masks mapped
+    onto the pipeline param layout). With dropout=0 the losses/updates
+    match the single-device make_gan_train_step to reduction-order
+    tolerance (tests/test_pipeline.py). Returns a curried maker:
+    `(state) -> step(state, inp, tar, key, n_std)
+    -> (state, (loss, g_loss, d_loss))`."""
+    from deepsc_gan_tpu.models.gan import Generator
+    from deepsc_gan_tpu.train.gan_steps import GENERATOR, TX_SIDE, \
+        selective_update
+
+    if type(model).__name__ != "TransceiverGAN":
+        raise ValueError("make_pp_gan_step needs the gan variant "
+                         f"(TransceiverGAN); got {type(model).__name__}")
+    fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
+                    dp_axis, tp_axis)
+    gen = Generator(cfg.channel_hidden, cfg.channel_dim,
+                    dtype=jnp.dtype(cfg.dtype),
+                    param_dtype=jnp.dtype(cfg.param_dtype))
+
+    def step(state: TrainState, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical key split to make_gan_train_step (k_p's random p is
+        # generated there but REPLACED by the generator output under
+        # traingan=True — nothing to reproduce), and the same internal
+        # split of k_ch into (perturbed, clean) channel keys as
+        # TransceiverGAN.__call__
+        _, k_ch, k_do = jax.random.split(key, 3)
+        key_p, key_r = jax.random.split(k_ch)
+        ke, kpe, kd, kpd = jax.random.split(k_do, 4)
+
+        def losses(params):
+            tx = fw.encode(params, inp, enc_mask, ke, kpe)
+            p_gen = gen.apply({"params": params["rest"]["generator"]}, tx)
+            y_p = fw.transmit(key_p, tx, p_gen, cfg.gan_pnr_db, n_std)
+            y_r = fw.transmit(key_r, tx, jnp.zeros_like(tx),
+                              cfg.gan_pnr_db, n_std)
+            ce_p = fw.decode_loss(params, y_p, tar_inp, tar_real,
+                                  combined_mask, dec_mask, kd, kpd)
+            ce_r = fw.decode_loss(params, y_r, tar_inp, tar_real,
+                                  combined_mask, dec_mask, kd, kpd)
+            loss = ce_r
+            g_loss = cfg.g_loss_ceiling - ce_p
+            d_loss = cfg.gan_lambda * loss + (1.0 - cfg.gan_lambda) * ce_p
+            return loss, g_loss, d_loss
+
+        loss_v, g_v, d_v = losses(state.params)
+
+        # three backward passes over the same pipelined forward (XLA
+        # shares the common forward subexpressions across them)
+        g_codec = jax.grad(lambda q: losses(q)[0])(state.params)
+        g_gen = jax.grad(lambda q: losses(q)[1])(state.params)
+        g_disc = jax.grad(lambda q: losses(q)[2])(state.params)
+
+        state = selective_update(
+            state, g_codec, _pp_phase_mask(state.params,
+                                           exclude=(GENERATOR,)))
+        state = selective_update(
+            state, g_gen, _pp_phase_mask(state.params,
+                                         include=(GENERATOR,)))
+        state = selective_update(
+            state, g_disc, _pp_phase_mask(state.params, exclude=TX_SIDE))
+        if state.ema_params is not None:
+            # selective_update bypasses apply_gradients; advance the EMA
+            # shadow once per full 3-phase step (as make_gan_train_step)
+            d = state.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, q: d * e + (1.0 - d) * q,
+                state.ema_params, state.params))
+        return state, (loss_v, g_v, d_v)
+
+    return fw.jit_maker(step, n_scalars=2)

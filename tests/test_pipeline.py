@@ -279,3 +279,56 @@ def test_pp_tp_attack_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_pp_gan_step_matches_single_device():
+    """GAN 3-phase step on a pp2 x dp2 mesh == single-device
+    make_gan_train_step at dropout=0: all three losses and the
+    selectively-updated params (incl. the generator phase) agree."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_gan_step
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    cfg = _cfg()
+    model = make_model(cfg, "gan")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0, traingan=True)
+    ref_step = make_gan_train_step(model, cfg)
+
+    mesh = _mesh(2, 2)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh, traingan=True)
+    step = make_pp_gan_step(model, cfg, mesh, n_micro=2)(pp_state)
+
+    inp = _batch(cfg)
+    for s in range(2):
+        k = jax.random.PRNGKey(500 + s)
+        ref_state, (l_ref, g_ref, d_ref) = ref_step(ref_state, inp, inp,
+                                                    k, 0.1)
+        pp_state, (l_pp, g_pp, d_pp) = step(pp_state, inp, inp, k, 0.1)
+        np.testing.assert_allclose(float(l_pp), float(l_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(g_pp), float(g_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(d_pp), float(d_ref),
+                                   rtol=2e-5, atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(
+        ref_state.params)[0])
+    for path, leaf in jax.tree_util.tree_flatten_with_path(back)[0]:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref[path]),
+            rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pp_gan_param_layout_roundtrip_with_generator():
+    """to_pp_params/from_pp_params pass the generator (and any extra
+    top-level module) through `rest` losslessly."""
+    cfg = _cfg()
+    model = make_model(cfg, "gan")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               traingan=True)
+    pp = to_pp_params(state.params, cfg)
+    assert "generator" in pp["rest"]
+    back = from_pp_params(pp, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
