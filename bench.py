@@ -234,6 +234,46 @@ def bench_model_scale(d_model: int, layers: int, batch: int, scan_k: int,
     return row
 
 
+def bench_seq_ab(batch: int, scan_k: int, steps: int, reps: int,
+                 warmup: int, dtype: str, d_model: int = 128):
+    """Sequence-length layout A/B (VERDICT r3 item 3): L=31 (the
+    reference's padded length — LANE-MISALIGNED on the TPU's 128-lane /
+    8-sublane vector layout; the d256 profile attributes ~20% of step
+    time to data-formatting copies from the (B, H, 31, 31) attention
+    tensors, results/profile_d256.json) vs L=32 (pad one extra PAD
+    column; masks already handle it). Same train-step path, same batch;
+    the L=32 variant does ~3% more token math — included in the
+    sentences/sec comparison, which is the honest end-to-end criterion.
+    `d_model` > 128 reproduces the profile's d256 shape (6+6 layers,
+    rbg RNG, as bench_model_scale)."""
+    from deepsc_gan_tpu.utils.config import Config
+
+    rows = {}
+    for L in (31, 32):
+        if d_model == 128:
+            cfg = Config(bs=batch, dtype=dtype, seq_len=L)
+        else:
+            cfg = Config(
+                bs=batch, dtype=dtype, seq_len=L, rng_impl="rbg",
+                encoder_d_model=d_model, decoder_d_model=d_model,
+                encoder_d_ff=4 * d_model, decoder_d_ff=4 * d_model,
+                encoder_num_layer=6, decoder_num_layer=6)
+        sps, flops, hbm = bench_batch(batch, scan_k, steps, reps, warmup,
+                                      dtype, cfg=cfg)
+        per_chip = sps / max(jax.device_count(), 1)
+        rows[f"L{L}"] = {
+            "sents_per_sec": round(per_chip, 1),
+            "step_time_ms": round(1e3 * batch / per_chip, 3),
+            **({"flops_per_step": round(flops)} if flops else {}),
+            **({"hbm_roofline_ms":
+                round(1e3 * hbm / V5E_HBM_BYTES_PER_SEC, 3)} if hbm
+               else {}),
+        }
+    rows["pad32_speedup"] = round(
+        rows["L32"]["sents_per_sec"] / rows["L31"]["sents_per_sec"], 4)
+    return rows
+
+
 def bench_ce_ab(batch: int, dtype: str, reps: int, warmup: int):
     """Isolated three-way A/B of the CE implementations at a shape where
     the kernel path DISPATCHES (rows >= 4096, ops/fused_ce.py gate):
@@ -319,6 +359,12 @@ def main() -> None:
     parser.add_argument("--ce-ab", action="store_true",
                         help="also A/B the Pallas CE kernels vs the "
                              "lax.scan path at a dispatching shape")
+    parser.add_argument("--seq-ab", action="store_true",
+                        help="also A/B L=31 (reference, lane-misaligned) "
+                             "vs L=32 (padded) at flagship scale")
+    parser.add_argument("--seq-ab-d256", action="store_true",
+                        help="the --seq-ab comparison at the d256 profile "
+                             "shape (6+6 layers, B=512)")
     args = parser.parse_args()
 
     sents_per_sec, flops, hbm_bytes = bench_batch(
@@ -388,6 +434,14 @@ def main() -> None:
     if args.ce_ab:
         out["ce_kernel_vs_scan"] = bench_ce_ab(256, args.dtype, args.reps,
                                                args.warmup)
+
+    if args.seq_ab:
+        out["seq_pad_ab_flagship"] = bench_seq_ab(
+            args.batch, args.scan_steps, args.steps, args.reps,
+            args.warmup, args.dtype)
+    if args.seq_ab_d256:
+        out["seq_pad_ab_d256"] = bench_seq_ab(
+            512, 8, 2, args.reps, 1, args.dtype, d_model=256)
 
     if args.scaling:
         rows = {}
