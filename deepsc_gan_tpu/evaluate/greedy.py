@@ -53,8 +53,15 @@ def _decode_loop(model, params, mem, enc_padding_mask, batch: int,
 
     position_mode:
       "step"    — vanilla autoregressive: read position i at step i;
-      "last"    — the reference's star decode ([:, -1:] each step,
-                  utlis/eval.py:70-71 — reads the last MEMORY position);
+      "last"    — the reference's generic [:, -1:] read (utlis/eval.py:
+                  70-71). NOTE: on star decoders (output length = MEMORY
+                  length, modules.py:218-253) this reads the same fixed
+                  position every step and is structurally degenerate —
+                  measured BLEU 0.000 at every SNR
+                  (results/test-star-robust-decode-last.pkl; RESULTS.md
+                  "Decode-protocol provenance"). Kept as the faithful
+                  reproduction; the reference's own star tables are
+                  teacher-forced (eval_step_star), not decoded;
       "oneshot" — single-pass non-autoregressive decode: the star decoder's
                   output position i predicts token i directly from the
                   channel signal (the target stream only enters via the

@@ -5,8 +5,15 @@ already beats the reference's `test-star.pkl` at low SNR but plateaus at
 0.959 vs the reference's 0.979-0.984 above 11 dB. This applies the
 AWGN-headline recipe (tied embeddings, label smoothing, augmentation,
 random train SNR, cosine schedule, dropout 0.2, held-out keep-best) to
-the star variants and writes the 19-point greedy curve in the
-reference's `test-star.pkl` protocol -> results/test-star-ours.pkl.
+the star variants and writes the 19-point greedy curve under BOTH decode
+protocols on the same params (VERDICT r3 item 4):
+  - one-shot  -> --out            (ours, matches the training objective)
+  - "last"    -> --out *-last.pkl (the reference's autoregressive
+                  [:, -1:] protocol, utlis/eval.py)
+Best params are saved (--save-params) so future protocol ablations don't
+retrain; --params-in skips training and only evaluates (pass a distinct
+--out so the published tables aren't overwritten with a different
+params-provenance curve).
 
 Run ONE process at a time on the TPU.
 """
@@ -64,61 +71,99 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/test-star-ours.pkl")
+    ap.add_argument("--params-in", default=None,
+                    help="saved params pickle ({'params': tree}) — skip "
+                         "training and only run the two-protocol eval")
+    ap.add_argument("--save-params",
+                    default="results/star_best_params.pkl",
+                    help="where to save the best params ('' disables)")
+    ap.add_argument("--eval-batches", type=int, default=0,
+                    help="limit held-out batches (0 = all)")
     args = ap.parse_args()
 
     cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **LEVERS)
     train_raw, held = split_data(REF_DATA, seed=0)
     vocab = Vocab.load(REF_VOCAB)
-    held_batches = held_out_batches(held, cfg)
+    held_batches = held_out_batches(held, cfg, limit=args.eval_batches)
 
     model = make_model(cfg, args.variant)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed))
     # star decoders emit one token per MEMORY position: full (un-shifted)
     # target, single-shot decode (reference tar_real = tar, trainer.py:32)
-    multi = make_train_multi_step(model, cfg, full_target=True)
     sweep_fn = make_greedy_decode_sweep(model, cfg,
                                         position_mode="oneshot")
-    ds = make_train_dataset(train_raw, cfg, seed=args.seed)
-    stacker = stacked_batches(ds, args.k)
-    n_std = float(snr_to_noise(cfg.train_snr))
-    key = jax.random.PRNGKey(args.seed + 1)
-    snrs7 = [0, 3, 6, 9, 12, 15, 18]
-    best, stale = (-1.0, None, -1), 0
-    for epoch in range(1, args.epochs + 1):
-        for _ in range(max(1, len(ds) // args.k)):
-            key, sub = jax.random.split(key)
-            b = jnp.asarray(next(stacker))
-            state, losses = multi(state, b, b, sub, n_std)
-        if epoch % args.eval_every:
-            continue
-        table = snr_sweep_bleu_fast(sweep_fn, state.params, held_batches,
-                                    vocab, cfg, snrs=snrs7,
-                                    key=jax.random.PRNGKey(999))
-        mean_bleu = float(np.mean([r[1] for r in table]))
-        print(f"[{args.variant}] ep{epoch} loss={float(losses[-1]):.3f} "
-              f"mean={mean_bleu:.4f} {[round(b, 3) for _, b in table]}",
-              flush=True)
-        if mean_bleu > best[0]:
-            best = (mean_bleu,
-                    jax.tree.map(lambda x: np.asarray(x), state.params),
-                    epoch)
-            stale = 0
-        else:
-            stale += 1
-            if stale >= args.patience:
-                print(f"early stop ep{epoch}", flush=True)
-                break
-    params = jax.tree.map(jnp.asarray, best[1])
-    print(f"best ep{best[2]} mean={best[0]:.4f}", flush=True)
 
-    table = snr_sweep_bleu_fast(sweep_fn, params, held_batches, vocab,
-                                cfg, snrs=list(range(19)),
-                                key=jax.random.PRNGKey(999))
-    save_result_table(table, args.out)
-    for snr, b in table:
-        ref = REFERENCE_STAR.get(int(snr))
-        delta = f" ref={ref:.3f} ({b - ref:+.3f})" if ref else ""
-        print(f"SNR={snr:4.1f} BLEU-1={b:.4f}{delta}", flush=True)
+    if args.params_in:
+        import pickle
+        with open(args.params_in, "rb") as f:
+            blob = pickle.load(f)
+        params = jax.tree.map(
+            jnp.asarray, blob["params"] if isinstance(blob, dict)
+            and "params" in blob else blob)
+        print(f"loaded params from {args.params_in}", flush=True)
+    else:
+        state = create_train_state(model, cfg,
+                                   jax.random.PRNGKey(args.seed))
+        multi = make_train_multi_step(model, cfg, full_target=True)
+        ds = make_train_dataset(train_raw, cfg, seed=args.seed)
+        stacker = stacked_batches(ds, args.k)
+        n_std = float(snr_to_noise(cfg.train_snr))
+        key = jax.random.PRNGKey(args.seed + 1)
+        snrs7 = [0, 3, 6, 9, 12, 15, 18]
+        best, stale = (-1.0, None, -1), 0
+        for epoch in range(1, args.epochs + 1):
+            for _ in range(max(1, len(ds) // args.k)):
+                key, sub = jax.random.split(key)
+                b = jnp.asarray(next(stacker))
+                state, losses = multi(state, b, b, sub, n_std)
+            if epoch % args.eval_every:
+                continue
+            table = snr_sweep_bleu_fast(sweep_fn, state.params,
+                                        held_batches, vocab, cfg,
+                                        snrs=snrs7,
+                                        key=jax.random.PRNGKey(999))
+            mean_bleu = float(np.mean([r[1] for r in table]))
+            print(f"[{args.variant}] ep{epoch} "
+                  f"loss={float(losses[-1]):.3f} mean={mean_bleu:.4f} "
+                  f"{[round(b, 3) for _, b in table]}", flush=True)
+            if mean_bleu > best[0]:
+                best = (mean_bleu,
+                        jax.tree.map(lambda x: np.asarray(x), state.params),
+                        epoch)
+                stale = 0
+            else:
+                stale += 1
+                if stale >= args.patience:
+                    print(f"early stop ep{epoch}", flush=True)
+                    break
+        params = jax.tree.map(jnp.asarray, best[1])
+        print(f"best ep{best[2]} mean={best[0]:.4f}", flush=True)
+        if args.save_params:
+            import pickle
+            with open(args.save_params, "wb") as f:
+                pickle.dump({"params": jax.tree.map(np.asarray, params),
+                             "cfg_levers": LEVERS,
+                             "variant": args.variant}, f)
+            print(f"saved best params -> {args.save_params}", flush=True)
+
+    # --- the two decode protocols on the SAME params (VERDICT r3 item 4):
+    # "oneshot" (ours: position i reads hidden state i — consistent with
+    # the star training objective) and "last" (the reference protocol:
+    # autoregressive decode reading [:, -1:], utlis/eval.py) — the delta
+    # between the two curves is the decode-protocol ablation.
+    sweep_last = make_greedy_decode_sweep(model, cfg, position_mode="last")
+    for mode, fn, out in (
+            ("oneshot", sweep_fn, args.out),
+            ("last", sweep_last,
+             args.out.replace(".pkl", "-last.pkl"))):
+        table = snr_sweep_bleu_fast(fn, params, held_batches, vocab,
+                                    cfg, snrs=list(range(19)),
+                                    key=jax.random.PRNGKey(999))
+        save_result_table(table, out)
+        print(f"--- position_mode={mode} -> {out}", flush=True)
+        for snr, b in table:
+            ref = REFERENCE_STAR.get(int(snr))
+            delta = f" ref={ref:.3f} ({b - ref:+.3f})" if ref else ""
+            print(f"SNR={snr:4.1f} BLEU-1={b:.4f}{delta}", flush=True)
 
 
 if __name__ == "__main__":
