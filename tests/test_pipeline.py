@@ -332,3 +332,37 @@ def test_pp_gan_param_layout_roundtrip_with_generator():
     back = from_pp_params(pp, cfg)
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_tp_gan_step_matches_single_device():
+    """GAN 3-phase step on the full pp2 x tp2 x dp2 3-D mesh (vocab-
+    sharded CE inside both pipelined decodes) == single-device step."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_gan_step
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    cfg = _cfg()
+    model = make_model(cfg, "gan")
+    key0 = jax.random.PRNGKey(0)
+    ref_state = create_train_state(model, cfg, key0, traingan=True)
+    ref_step = make_gan_train_step(model, cfg)
+
+    mesh = _mesh3(2, 2, 2)
+    pp_state = create_pp_train_state(model, cfg, key0, mesh, tp_axis="tp",
+                                     traingan=True)
+    step = make_pp_gan_step(model, cfg, mesh, n_micro=2,
+                            tp_axis="tp")(pp_state)
+
+    inp = _batch(cfg)
+    k = jax.random.PRNGKey(600)
+    ref_state, (l_ref, g_ref, d_ref) = ref_step(ref_state, inp, inp, k, 0.1)
+    pp_state, (l_pp, g_pp, d_pp) = step(pp_state, inp, inp, k, 0.1)
+    np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(g_pp), float(g_ref), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(d_pp), float(d_ref), rtol=2e-5,
+                               atol=2e-5)
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
