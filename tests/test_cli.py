@@ -373,10 +373,16 @@ def test_cli_train_pp_then_evaluate(tmp_path):
               "--snr-hi", "6"] + common)
     assert os.path.exists(os.path.join(log, "test-transformer-greedy.pkl"))
 
-    # unsupported compositions fail loudly, not silently
-    with pytest.raises(SystemExit):
+    # unsupported compositions fail loudly, not silently (pp x tp and
+    # pp-gan are now SUPPORTED paths — tested in test_pipeline.py)
+    with pytest.raises(SystemExit):  # mine has no pipeline step
         cli.main(["train", "--variant", "transformer", "--pp", "2",
-                  "--tp", "2"] + common)
-    with pytest.raises(SystemExit):
+                  "--train-mode", "mine"] + common)
+    with pytest.raises(SystemExit):  # star is not a homogeneous chain
+        cli.main(["train", "--variant", "star", "--pp", "2"] + common)
+    with pytest.raises(SystemExit):  # gan mode needs the gan variant
         cli.main(["train", "--variant", "transformer", "--pp", "2",
                   "--train-mode", "gan"] + common)
+    with pytest.raises(SystemExit):  # tp-attack is transformer-only
+        cli.main(["train", "--variant", "star", "--tp", "2",
+                  "--train-mode", "attack"] + common)
