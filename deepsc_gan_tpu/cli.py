@@ -140,9 +140,6 @@ def cmd_train(args) -> None:
         # GPipe pipeline parallelism over a (pp, dp) mesh
         # (parallel/pipeline.py); checkpoints are converted back to the
         # standard layout at save time so `evaluate` restores them
-        if mode not in ("plain", "attack", "gan"):
-            raise SystemExit(f"--pp supports plain/attack/gan training; "
-                             f"for mode={mode} use --dp")
         want = "gan" if mode == "gan" else "transformer"
         if variant != want:
             raise SystemExit(f"--pp --train-mode {mode} needs --variant "
@@ -155,6 +152,7 @@ def cmd_train(args) -> None:
             create_pp_train_state,
             make_pp_attack_step,
             make_pp_gan_step,
+            make_pp_mine_step,
             make_pp_train_step,
         )
         n_dev = cfg.pp * cfg.tp * cfg.dp
@@ -181,6 +179,11 @@ def cmd_train(args) -> None:
             step = make_pp_gan_step(model, cfg, mesh,
                                     n_micro=cfg.pp_microbatches,
                                     tp_axis=tp_ax)(state)
+        elif mode == "mine":
+            mine, mine_state = create_mine_state(cfg, key)
+            step = make_pp_mine_step(model, cfg, mesh,
+                                     n_micro=cfg.pp_microbatches,
+                                     tp_axis=tp_ax)(state)
         else:
             step = make_pp_train_step(model, cfg, mesh,
                                       n_micro=cfg.pp_microbatches,
@@ -193,19 +196,17 @@ def cmd_train(args) -> None:
                 raise SystemExit(f"--tp supports plain/attack training; "
                                  f"for mode={mode} use --dp (all modes "
                                  f"scale data-parallel)")
-            if mode == "attack" and _is_star(variant):
-                raise SystemExit("--tp attack supports the vanilla "
-                                 "transformer variant (star uses the "
-                                 "full-target objective — use --dp)")
             from deepsc_gan_tpu.parallel.tensor_parallel import (
                 make_tp_attack_step, make_tp_train_step, shard_tp_state)
             mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
                              axis_names=("tp", "dp"))
             if mode == "attack":
                 step = make_tp_attack_step(
-                    model, cfg, mesh, adv_weight=args.adv_weight)(state)
+                    model, cfg, mesh, full_target=star,
+                    adv_weight=args.adv_weight)(state)
             else:
-                step = make_tp_train_step(model, cfg, mesh)(state)
+                step = make_tp_train_step(model, cfg, mesh,
+                                          full_target=star)(state)
             state = shard_tp_state(state, mesh, cfg)
         else:
             from deepsc_gan_tpu.parallel.sharding import (

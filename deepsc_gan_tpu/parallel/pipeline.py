@@ -620,6 +620,91 @@ def make_pp_attack_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
     return fw.jit_maker(step, n_scalars=4)
 
 
+def make_pp_mine_step(model, cfg: Config, mesh: Mesh, n_micro: int = 4,
+                      channel_kind: Optional[str] = None,
+                      pp_axis: str = "pp",
+                      dp_axis: Optional[str] = "dp",
+                      tp_axis: Optional[str] = None) -> Callable:
+    """Pipeline(+data)-parallel MINE joint step (quirk Q6 capability,
+    train/mine_steps.py) for the vanilla transceiver: pipelined
+    encode/decode, the MINE statistics network T (a tiny MLP, replicated)
+    on the GLOBAL (tx, y) batch, transceiver update on ce - λ·MI, then
+    the MINE update maximizing the DV bound against the UPDATED encoder —
+    the exact single-device schedule. Completes the mode × parallelism
+    matrix: every reference train loop now runs under pp.
+
+    Returns a curried maker: `(state) ->
+    step(state, mine_state, inp, tar, key, n_std)
+    -> (state, mine_state, (ce, mi))`."""
+    import optax
+
+    from deepsc_gan_tpu.models.mine import MINE, mutual_information, \
+        sample_batch
+
+    fw = _PPForward(model, cfg, mesh, n_micro, channel_kind, pp_axis,
+                    dp_axis, tp_axis)
+    mine = MINE()
+    lam = cfg.mine_lambda
+
+    def step(state: TrainState, mine_state, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical key split to make_mine_train_step
+        k_ch, k_do, k_perm = jax.random.split(key, 3)
+        ke, kpe, kd, kpd = jax.random.split(k_do, 4)
+        p0 = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                       jnp.float32)
+
+        def encode_transmit(params):
+            tx = fw.encode(params, inp, enc_mask, ke, kpe)
+            return tx, fw.transmit(k_ch, tx, p0, 0.0, n_std)
+
+        def mi_of(mine_params, tx, y):
+            xm, ym = sample_batch(k_perm, tx, y)
+            t_joint = mine.apply({"params": mine_params}, tx, y)
+            t_marg = mine.apply({"params": mine_params}, xm, ym)
+            return mutual_information(t_joint, t_marg)
+
+        def net_loss(params, mine_params):
+            tx, y = encode_transmit(params)
+            ce = fw.decode_loss(params, y, tar_inp, tar_real,
+                                combined_mask, dec_mask, kd, kpd)
+            mi = mi_of(mine_params, tx, y)
+            return ce - lam * mi, (ce, mi)
+
+        # transceiver update (MINE params held fixed)
+        (_, (ce, mi)), grads = jax.value_and_grad(
+            net_loss, argnums=0, has_aux=True)(state.params,
+                                               mine_state.params)
+        state = state.apply_gradients(grads)
+
+        # MINE update against the UPDATED encoder: only encode/transmit
+        # feed the bound (the decode path carries no mine gradient)
+        def mine_obj(mine_params):
+            tx, y = encode_transmit(state.params)
+            return -mi_of(mine_params, tx, y)
+
+        g_mine = jax.grad(mine_obj)(mine_state.params)
+        upd, new_opt = mine_state.tx.update(g_mine, mine_state.opt_state,
+                                            mine_state.params)
+        mine_state = mine_state.replace(
+            params=optax.apply_updates(mine_state.params, upd),
+            opt_state=new_opt)
+        return state, mine_state, (ce, mi)
+
+    def make(state):
+        sshard = fw.state_shardings(state)
+        repl = NamedSharding(mesh, P())
+        data = (NamedSharding(mesh, P(fw.dp_in_mesh))
+                if fw.dp_in_mesh else repl)
+        return jax.jit(step,
+                       in_shardings=(sshard, repl, data, data, repl, repl),
+                       out_shardings=(sshard, repl, repl))
+
+    return make
+
+
 def _pp_phase_mask(pp_params: dict, include=None, exclude=None):
     """train/gan_steps.phase_mask semantics on the PIPELINE param layout:
     enc_stack counts as `semantic_encoder`, dec_stack as

@@ -189,11 +189,15 @@ def _make_hidden_loss(model, cfg: Config, lkw: dict, ce_mapped):
 
 def make_tp_train_step(model, cfg: Config, mesh: Mesh,
                        channel_kind: Optional[str] = None,
+                       full_target: bool = False,
                        dp_axis: str = "dp", tp_axis: str = "tp") -> Callable:
     """Data- AND tensor-parallel train step over a (dp, tp) mesh.
 
     Supports the full flagship recipe — tied embeddings and label
-    smoothing included (round-2 gates lifted). Returns a curried maker:
+    smoothing included (round-2 gates lifted). `full_target=True` scores
+    against the UN-shifted target — required for star decoders, whose
+    output length equals the memory length (train/steps.py semantics).
+    Returns a curried maker:
     `make_tp_train_step(model, cfg, mesh)(state)` -> jitted
     `step(state, inp, tar, key, n_std) -> (state, loss)`; use
     `shard_tp_state` to place the state before the first call."""
@@ -204,7 +208,8 @@ def make_tp_train_step(model, cfg: Config, mesh: Mesh,
     hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
 
     def step(state: TrainState, inp, tar, key, n_std):
-        tar_inp, tar_real = _shift_targets(tar)
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
         # identical key split to the dp-only GSPMD step
@@ -259,6 +264,7 @@ def _tp_state_shardings(mesh: Mesh, spec_rule, state) -> TrainState:
 
 def make_tp_attack_step(model, cfg: Config, mesh: Mesh,
                         channel_kind: Optional[str] = None,
+                        full_target: bool = False,
                         adv_weight: float = 1.0,
                         dp_axis: str = "dp",
                         tp_axis: str = "tp") -> Callable:
@@ -275,7 +281,8 @@ def make_tp_attack_step(model, cfg: Config, mesh: Mesh,
     (tests/test_tensor_parallel.py). Returns a curried maker:
     `make_tp_attack_step(...)(state)` -> jitted
     `step(state, inp, tar, key, pnr_db, n_std, epsilon)
-    -> (state, (clean_loss, adv_loss))`."""
+    -> (state, (clean_loss, adv_loss))`. `full_target=True` scores the
+    UN-shifted target (star decoders, train/steps.py semantics)."""
     from deepsc_gan_tpu.train.attacks import fgm_normalize
 
     kind = channel_kind or cfg.channel
@@ -285,7 +292,8 @@ def make_tp_attack_step(model, cfg: Config, mesh: Mesh,
     hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
 
     def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
-        tar_inp, tar_real = _shift_targets(tar)
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
         # same key split as the single-device attack step (train/steps.py)

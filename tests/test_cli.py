@@ -373,16 +373,14 @@ def test_cli_train_pp_then_evaluate(tmp_path):
               "--snr-hi", "6"] + common)
     assert os.path.exists(os.path.join(log, "test-transformer-greedy.pkl"))
 
-    # unsupported compositions fail loudly, not silently (pp x tp and
-    # pp-gan are now SUPPORTED paths — tested in test_pipeline.py)
-    with pytest.raises(SystemExit):  # mine has no pipeline step
-        cli.main(["train", "--variant", "transformer", "--pp", "2",
-                  "--train-mode", "mine"] + common)
+    # unsupported compositions fail loudly, not silently (every train
+    # MODE now runs under pp — tested in test_pipeline.py — so the
+    # remaining invalid axes are variant mismatches)
     with pytest.raises(SystemExit):  # star is not a homogeneous chain
         cli.main(["train", "--variant", "star", "--pp", "2"] + common)
     with pytest.raises(SystemExit):  # gan mode needs the gan variant
         cli.main(["train", "--variant", "transformer", "--pp", "2",
                   "--train-mode", "gan"] + common)
-    with pytest.raises(SystemExit):  # tp-attack is transformer-only
-        cli.main(["train", "--variant", "star", "--tp", "2",
-                  "--train-mode", "attack"] + common)
+    with pytest.raises(SystemExit):  # gan mode has no tp step
+        cli.main(["train", "--variant", "gan", "--tp", "2",
+                  "--train-mode", "gan"] + common)

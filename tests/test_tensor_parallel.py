@@ -210,3 +210,25 @@ def test_tp_attack_step_adv_weight_and_recipe(tiny_cfg, tiny_batch):
     assert np.isclose(float(a1), float(a2), rtol=1e-5, atol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_star_full_target_matches_single_device(tiny_cfg, tiny_batch):
+    """Star variant under (dp=1, tp=2) with full_target=True (the star
+    training objective) == the single-device step — the staged tp
+    forward covers every transceiver variant, not just the vanilla."""
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    single = make_train_step(model, cfg, full_target=True)
+    s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+
+    mesh = _tp_mesh(1, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_train_step(model, cfg, mesh, full_target=True)(state)
+    s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3), 0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
