@@ -48,6 +48,9 @@ JOBS = [  # (params pickle, variant, output table)
     ("robust_params.pkl", "transformer", "eval-robust-ours.pkl"),
     ("gan_params.pkl", "gan", "eval-gan-ours.pkl"),
     ("star_robust_params.pkl", "star", "eval-star-robust-ours.pkl"),
+    # written by star_quality.py --save-params (round 4+); skipped if the
+    # headline star run hasn't been re-done on the TPU yet
+    ("star_best_params.pkl", "star", "eval-star-best-ours.pkl"),
 ]
 
 
