@@ -51,3 +51,18 @@ def test_kv_decode_identity_ffn_mode(tiny_cfg, tiny_batch):
     b = np.asarray(make_greedy_decode_kv(model, cfg)(
         state.params, tiny_batch, jax.random.PRNGKey(1), 0.0, 0.1))
     np.testing.assert_array_equal(a, b)
+
+
+def test_kv_decode_gan_variant_token_parity(tiny_cfg, tiny_batch):
+    """The GAN transceiver serves through the same KV path as the vanilla
+    (both take position_mode='step'): token parity with the buffer-path
+    greedy decode on the gan variant."""
+    cfg = tiny_cfg
+    model = make_model(cfg, "gan")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs, traingan=True)
+    a = np.asarray(make_greedy_decode(model, cfg)(
+        state.params, tiny_batch, jax.random.PRNGKey(5), 0.0, 0.1))
+    b = np.asarray(make_greedy_decode_kv(model, cfg)(
+        state.params, tiny_batch, jax.random.PRNGKey(5), 0.0, 0.1))
+    np.testing.assert_array_equal(a, b)
