@@ -365,7 +365,31 @@ def main() -> None:
     parser.add_argument("--seq-ab-d256", action="store_true",
                         help="the --seq-ab comparison at the d256 profile "
                              "shape (6+6 layers, B=512)")
+    parser.add_argument("--backend-timeout", type=int, default=600,
+                        help="seconds to wait for the backend (the TPU "
+                             "may sit behind a tunnel that is down); on "
+                             "expiry print an error JSON line instead of "
+                             "hanging forever")
     args = parser.parse_args()
+
+    # bounded backend probe: jax.devices() blocks indefinitely while the
+    # tunnel is down — probe it in a daemon thread so a dead tunnel
+    # yields a parseable error line rather than a hung process
+    import threading
+
+    probe: list = []
+    th = threading.Thread(target=lambda: probe.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(args.backend_timeout)
+    if not probe:
+        print(json.dumps({
+            "metric": "train_throughput_flagship", "value": 0.0,
+            "unit": "sentences/sec/chip", "vs_baseline": 0.0,
+            "error": f"backend unavailable after {args.backend_timeout}s "
+                     "(TPU tunnel down) — no measurement",
+        }))
+        return
 
     sents_per_sec, flops, hbm_bytes = bench_batch(
         args.batch, args.scan_steps, args.steps, args.reps, args.warmup,
