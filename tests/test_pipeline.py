@@ -415,3 +415,27 @@ def test_pp_mine_step_matches_single_device():
                     jax.tree.leaves(ref_mine.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3)
+
+
+def test_pp_gan_step_with_ema():
+    """cfg.ema_decay > 0 under the pp GAN step: selective_update bypasses
+    apply_gradients, so the step advances the EMA shadow explicitly —
+    assert it moves and the losses stay finite."""
+    from deepsc_gan_tpu.parallel.pipeline import make_pp_gan_step
+
+    cfg = _cfg(ema_decay=0.95)
+    model = make_model(cfg, "gan")
+    mesh = _mesh(2, 2)
+    st = create_pp_train_state(model, cfg, jax.random.PRNGKey(0), mesh,
+                               traingan=True)
+    assert st.ema_params is not None
+    step = make_pp_gan_step(model, cfg, mesh, n_micro=2)(st)
+    b = _batch(cfg)
+    st2, (l, g, d) = step(st, b, b, jax.random.PRNGKey(1), 0.1)
+    assert np.isfinite(float(l)) and np.isfinite(float(g))
+    assert np.isfinite(float(d))
+    moved = any(
+        float(jnp.abs(a - e).max()) > 0
+        for a, e in zip(jax.tree.leaves(st2.ema_params),
+                        jax.tree.leaves(st.ema_params)))
+    assert moved
