@@ -182,11 +182,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train-frac", type=float, default=1.0,
                     help="fraction of the train split to use (scaling curve)")
+    ap.add_argument("--seq-len", type=int, default=31,
+                    help="padded sentence length (31 = reference parity; "
+                    "32 = lane-aligned layout, +10% step throughput at the "
+                    "flagship shape — bench.py --seq-ab)")
     ap.add_argument("--tag", default="")
     args = ap.parse_args()
 
     os.makedirs(args.log_dir, exist_ok=True)
-    base = Config(encoder_dropout=0.2, decoder_dropout=0.2)
+    base = Config(encoder_dropout=0.2, decoder_dropout=0.2,
+                  seq_len=args.seq_len)
     train_raw, held = split_data(args.data_pkl, seed=0)
     if args.train_frac < 1.0:
         train_raw = train_raw[: int(len(train_raw) * args.train_frac)]
