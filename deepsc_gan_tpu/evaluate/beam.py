@@ -167,7 +167,7 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
     from deepsc_gan_tpu.evaluate.kv_decode import (
         _attend,
         _attn_out,
-        _kv_memory,
+        _kv_memory_t,
         _ln,
         _qkv,
     )
@@ -200,12 +200,25 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
         pe = positional_encoding(max(512, cfg.max_length + 2),
                                  cfg.decoder_d_model, dtype)[0]
 
-        # memory K/V + cross bias computed once, beams folded into batch
-        mem_k = jnp.repeat(mem, K, axis=0)                  # (B*K, Lm, D)
-        memKV = [_kv_memory(l["cross_mha"], mem_k) for l in layers]
-        cross_bias = jnp.repeat(
-            enc_padding_mask[:, :, 0, :].astype(jnp.float32) * NEG,
-            K, axis=0)                                      # (B*K, 1, Lm)
+        # memory K/V + cross bias computed once. Beams from the same batch
+        # row share the memory, so it is NOT beam-expanded — the per-step
+        # cross-attention streams 1/K of the K/V bytes and contracts the
+        # beam dim as a free matmul dim instead (`_x_attend` below).
+        memKV = [_kv_memory_t(l["cross_mha"], mem) for l in layers]
+        cross_bias = (enc_padding_mask[:, :, 0, :]
+                      .astype(jnp.float32) * NEG)[:, None]  # (B, 1, 1, Lm)
+
+        def _x_attend(q, Km, Vm):
+            """q: (B*K, H, Dh); Km: (B, H, Dh, Lm); Vm: (B, H, Lm, Dh).
+            Same arithmetic as kv_decode._attend_mem with the beam axis
+            kept as a free dim of the shared-memory contraction."""
+            depth = q.shape[-1]
+            qk = q.reshape(B, K, H, Dh)
+            lg = jnp.einsum("bjhk,bhkl->bjhl", qk, Km).astype(jnp.float32)
+            lg = lg / jnp.sqrt(jnp.asarray(depth, jnp.float32)) + cross_bias
+            w = jax.nn.softmax(lg, axis=-1).astype(Vm.dtype)
+            out = jnp.einsum("bjhl,bhlk->bjhk", w, Vm)
+            return out.reshape(B * K, H, Dh)
         Wf, bf = _final_wb(params)
 
         tokens = jnp.full((B, K, T + 1), cfg.pad_idx, jnp.int32)
@@ -243,7 +256,7 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
 
                 p2 = l["cross_mha"]
                 q2 = _qkv(p2["wq"], out1)
-                attn2 = _attn_out(p2, _attend(q2, Km, Vm, cross_bias))
+                attn2 = _attn_out(p2, _x_attend(q2, Km, Vm))
                 out2 = _ln(l["ln2"], attn2 + out1).astype(dtype)
 
                 if cfg.ffn_mode == "identity":

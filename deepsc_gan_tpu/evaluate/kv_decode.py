@@ -50,9 +50,26 @@ def _qkv(p, x):
 
 
 def _kv_memory(p, mem):
-    """mem: (B, Lm, D) -> K,V (B, Lm, H, Dh) — projected once."""
+    """mem: (B, Lm, D) -> K,V (B, Lm, H, Dh) — projected once. This is
+    the same buffer form as the incremental self-attention caches, so
+    every `_attend` in the greedy loop runs on ONE form and XLA picks a
+    single stable layout. The beam path uses `_kv_memory_t` instead."""
     K = jnp.einsum("bld,dhk->blhk", mem, p["wk"]["kernel"].astype(mem.dtype))
     V = jnp.einsum("bld,dhk->blhk", mem, p["wv"]["kernel"].astype(mem.dtype))
+    return K, V
+
+
+def _kv_memory_t(p, mem):
+    """mem: (B, Lm, D) -> K (B, H, Dh, Lm), V (B, H, Lm, Dh) — projected
+    once, pre-transposed for the beam path's shared-memory cross-attention
+    (`beam.py:_x_attend`), whose contractions keep the beam axis free. In
+    the beam program the beam-expanded `blhk` form let XLA pick a
+    per-step layout that collapsed at Lm=32 (measured end-to-end: 5,054
+    seq/s at Lm=31 -> 3,901 at Lm=32, v5e); this form is layout-stable at
+    either length and faster at both (5,809 / 5,936 — RESULTS.md
+    "Beam-4 serving")."""
+    K = jnp.einsum("bld,dhk->bhkl", mem, p["wk"]["kernel"].astype(mem.dtype))
+    V = jnp.einsum("bld,dhk->bhlk", mem, p["wv"]["kernel"].astype(mem.dtype))
     return K, V
 
 

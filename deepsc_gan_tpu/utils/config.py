@@ -32,7 +32,14 @@ class Config:
     train_with_mine: bool = False
     mine_lambda: float = 0.0009  # weight of the -MI term when train_with_mine
     max_length: int = 30        # decode steps (reference: parameters.py:36)
-    seq_len: int = 31           # padded sentence length (reference: dataloader.py:11)
+    # Padded sentence length. The reference pads to 31 (dataloader.py:11);
+    # the framework default is the lane-aligned 32: the extra column is
+    # <PAD> (attention masks and the loss already ignore it), and the
+    # paired same-seed/same-budget quality gate came out equal-or-better
+    # at every SNR with +9.9% step throughput at the flagship shape
+    # (RESULTS.md "Sequence-pad layout A/B"; log/seq_ab/). Pass
+    # --seq-len 31 for reference-protocol parity runs.
+    seq_len: int = 32
     channel: str = "AWGN"       # AWGN | Rayleigh | Rician (parameters.py:37)
 
     # --- model (reference: parameters.py:40-50)

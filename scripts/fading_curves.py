@@ -139,8 +139,11 @@ def main():
     snrs = list(range(0, 19))
 
     for channel in args.channels.split(","):
+        # pin the reference's L=31: the committed fading artifacts
+        # (results/fading/) were produced at that length, before the
+        # framework default moved to the lane-aligned 32
         cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2,
-                     channel=channel, **levers)
+                     channel=channel, seq_len=31, **levers)
         held_batches = held_out_batches(held, cfg)
         print(f"=== {channel}: training {args.epochs} epochs", flush=True)
         model, state = train(cfg, train_raw, held_batches, vocab,

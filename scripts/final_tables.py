@@ -62,6 +62,10 @@ def main():
     with open(args.best_pkl, "rb") as f:
         blob = pickle.load(f)
     overrides = blob.get("overrides", GRID.get(args.config, {}))
+    # saved best-params blobs were trained at the reference's L=31
+    # (before the framework default moved to 32); honor a blob override
+    # if present, else pin 31
+    overrides.setdefault("seq_len", 31)
     cfg = Config(encoder_dropout=0.2, decoder_dropout=0.2, **overrides)
     print(f"[final] config={args.config} best_epoch={blob.get('epoch')} "
           f"sweep_mean={blob.get('mean_bleu'):.4f}")

@@ -161,9 +161,13 @@ def run_config(name: str, cfg: Config, train_raw, held_batches, vocab,
 
     if best[1] is not None:
         with open(os.path.join(args.log_dir, f"{name}_best.pkl"), "wb") as f:
+            # record seq_len so downstream table scripts (final_tables.py)
+            # evaluate under the same padded length the params were
+            # trained at (the framework default moved from 31 to 32)
             pickle.dump({"params": best[1], "epoch": best[2],
                          "mean_bleu": best[0],
-                         "overrides": GRID.get(name, {})}, f)
+                         "overrides": {**GRID.get(name, {}),
+                                       "seq_len": cfg.seq_len}}, f)
     return best[0]
 
 

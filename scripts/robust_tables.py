@@ -65,7 +65,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 LEVERS = dict(tie_embeddings=True, label_smoothing=0.1, aug_crop=0.2,
               aug_concat=0.2, aug_synth=0.3, train_snr_random=True,
-              schedule="cosine", decay_steps=120000)
+              schedule="cosine", decay_steps=120000,
+              # the committed params/tables (results/*.pkl) were trained
+              # and evaluated at the reference's L=31; the framework
+              # default moved to the lane-aligned 32 (utils/config.py),
+              # so regeneration pins 31 to match the saved artifacts
+              seq_len=31)
 
 
 def plain_train(cfg, train_raw, held_batches, vocab, epochs, k, seed,
