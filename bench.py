@@ -174,11 +174,14 @@ def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
         create_train_state,
         make_train_multi_step,
     )
-    from deepsc_gan_tpu.utils.config import Config
+    from deepsc_gan_tpu.utils.config import Config, default_seq_len
 
     set_star_kernel_mode(mode)
     try:
-        cfg = Config(bs=batch_size, dtype=dtype)
+        # star's lane-aligned length is 31 (relay row makes 32 —
+        # utils/config.py:default_seq_len; results/star_seq_ab_r4.json)
+        cfg = Config(bs=batch_size, dtype=dtype,
+                     seq_len=default_seq_len("star"))
         model = make_model(cfg, "star")
         key = jax.random.PRNGKey(0)
         state = create_train_state(model, cfg, key)

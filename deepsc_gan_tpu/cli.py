@@ -46,7 +46,12 @@ from deepsc_gan_tpu.train.steps import (
     make_train_step,
 )
 from deepsc_gan_tpu.utils.checkpoint import CheckpointManager
-from deepsc_gan_tpu.utils.config import Config, add_config_args, config_from_args
+from deepsc_gan_tpu.utils.config import (
+    Config,
+    add_config_args,
+    config_from_args,
+    default_seq_len,
+)
 from deepsc_gan_tpu.utils.logging import MetricLogger
 
 def _enable_compile_cache():
@@ -113,8 +118,19 @@ def _load_train_dataset(cfg: Config, seed: int):
                              seed)
 
 
-def cmd_train(args) -> None:
+
+def _variant_config(args) -> Config:
+    """Config from args with the unset --seq-len resolved per variant
+    (star aligns at 31 = 32 rows with the relay, transformer at 32 —
+    utils/config.py:default_seq_len)."""
     cfg = config_from_args(args)
+    if getattr(args, "seq_len", None) is None:
+        cfg = cfg.replace(seq_len=default_seq_len(args.variant))
+    return cfg
+
+
+def cmd_train(args) -> None:
+    cfg = _variant_config(args)
     variant = args.variant
     mode = args.train_mode
     star = _is_star(variant)
@@ -362,7 +378,7 @@ def _restore_latest(cfg: Config, variant: str, state, tag: str):
 
 
 def cmd_evaluate(args) -> None:
-    cfg = config_from_args(args)
+    cfg = _variant_config(args)
     variant = args.variant
     star = _is_star(variant)
     pm = _position_mode(variant)
@@ -534,7 +550,7 @@ def cmd_transmit(args) -> None:
     from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode
     from deepsc_gan_tpu.evaluate.metrics import SNR_to_noise
 
-    cfg = config_from_args(args)
+    cfg = _variant_config(args)
     variant = args.variant
     pm = _position_mode(variant)
     model = make_model(cfg, variant)
@@ -578,7 +594,7 @@ def cmd_export(args) -> None:
     deployment story the reference (a notebook codebase) never had."""
     from jax import export as jexport
 
-    cfg = config_from_args(args)
+    cfg = _variant_config(args)
     variant = args.variant
     pm = _position_mode(variant)
     model = make_model(cfg, variant)

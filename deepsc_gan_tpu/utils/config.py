@@ -165,11 +165,32 @@ def default_config(**kw: Any) -> Config:
     return Config(**kw)
 
 
+def default_seq_len(variant: str) -> int:
+    """Lane-aligned padded length for a model `variant`.
+
+    The TPU vector layout packs the last dim in lanes of 32; the padded
+    sentence length should make the attention row count a multiple of 32.
+    Plain transformers attend over exactly L rows, so L=32 aligns. The
+    star codec appends ONE relay row to the satellite ring (the
+    reference's `[s; h]` relay context, modules.py:175), so its aligned
+    length is L=31 (31 satellites + relay = 32 rows) — measured 1.066x
+    (pallas) / 1.028x (xla) over L=32 on v5e
+    (results/star_seq_ab_r4.json; transformer A/B in seq_ab_r4.json).
+    """
+    return 31 if variant.startswith("star") else 32
+
+
 def add_config_args(parser: argparse.ArgumentParser) -> None:
     """Register every Config field as a --flag (dashes for underscores)."""
     for f in dataclasses.fields(Config):
         name = "--" + f.name.replace("_", "-")
-        if f.type == "bool" or isinstance(f.default, bool):
+        if f.name == "seq_len":
+            # None sentinel: commands that know the model variant resolve
+            # an unset --seq-len to default_seq_len(variant) (star aligns
+            # at 31, transformer at 32); config_from_args falls back to
+            # the dataclass default otherwise.
+            parser.add_argument(name, type=int, default=None)
+        elif f.type == "bool" or isinstance(f.default, bool):
             # --flag / --no-flag pairs so True defaults stay disableable
             parser.add_argument(name, action=argparse.BooleanOptionalAction,
                                 default=f.default)
@@ -180,7 +201,10 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
 
 def config_from_args(args: argparse.Namespace) -> Config:
     names = {f.name for f in dataclasses.fields(Config)}
-    return Config(**{k: v for k, v in vars(args).items() if k in names})
+    kw = {k: v for k, v in vars(args).items() if k in names}
+    if kw.get("seq_len") is None:  # unset sentinel -> dataclass default
+        kw.pop("seq_len", None)
+    return Config(**kw)
 
 
 def para_config(argv: Optional[list] = None) -> Config:

@@ -384,3 +384,39 @@ def test_cli_train_pp_then_evaluate(tmp_path):
     with pytest.raises(SystemExit):  # gan mode has no tp step
         cli.main(["train", "--variant", "gan", "--tp", "2",
                   "--train-mode", "gan"] + common)
+
+
+def test_cli_variant_seq_len_default():
+    """Unset --seq-len resolves per variant: star aligns at 31 (the relay
+    row makes 32 attention rows), transformer at 32; an explicit flag
+    always wins (results/star_seq_ab_r4.json A/B)."""
+    import argparse
+
+    from deepsc_gan_tpu.utils.config import (
+        add_config_args,
+        default_seq_len,
+    )
+
+    assert default_seq_len("star") == 31
+    assert default_seq_len("star_multi") == 31
+    assert default_seq_len("transformer") == 32
+    assert default_seq_len("gan") == 32
+
+    parser = argparse.ArgumentParser()
+    add_config_args(parser)
+    parser.add_argument("--variant", default="transformer")
+
+    for variant, want in [("star", 31), ("star_multi", 31),
+                          ("transformer", 32), ("gan", 32)]:
+        args = parser.parse_args(["--variant", variant])
+        assert cli._variant_config(args).seq_len == want
+    args = parser.parse_args(["--variant", "star", "--seq-len", "20"])
+    assert cli._variant_config(args).seq_len == 20
+
+
+def test_cli_para_config_seq_len_fallback():
+    """para_config (no variant context) keeps the dataclass default."""
+    from deepsc_gan_tpu.utils.config import para_config
+
+    assert para_config([]).seq_len == 32
+    assert para_config(["--seq-len", "31"]).seq_len == 31
