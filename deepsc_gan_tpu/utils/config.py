@@ -168,8 +168,10 @@ def default_config(**kw: Any) -> Config:
 def default_seq_len(variant: str) -> int:
     """Lane-aligned padded length for a model `variant`.
 
-    The TPU vector layout packs the last dim in lanes of 32; the padded
-    sentence length should make the attention row count a multiple of 32.
+    The TPU vector layout tiles the trailing dims in (8 sublane, 128
+    lane) granules; 32 attention rows tile that granule (and the MXU)
+    cleanly where 31 forces padded/odd layouts, so the padded sentence
+    length should make the attention row count a multiple of 32.
     Plain transformers attend over exactly L rows, so L=32 aligns. The
     star codec appends ONE relay row to the satellite ring (the
     reference's `[s; h]` relay context, modules.py:175), so its aligned
