@@ -175,6 +175,24 @@ def pp_state_to_standard(state: TrainState, cfg: Config) -> TrainState:
         state, is_leaf=is_pp)
 
 
+def standard_state_to_pp(state: TrainState, cfg: Config, mesh: Mesh,
+                         pp_axis: str = "pp",
+                         tp_axis: Optional[str] = None) -> TrainState:
+    """Inverse of pp_state_to_standard + placement: convert a
+    standard-layout TrainState (e.g. restored from an epoch checkpoint by
+    `cli train --resume`) into the stacked pipeline layout — params,
+    ema_params, and the Adam moments inside opt_state all carry over —
+    and shard it on the mesh. Resume then continues with the exact
+    moments/step the checkpoint recorded."""
+    def is_std(t):
+        return isinstance(t, dict) and "semantic_encoder" in t
+
+    converted = jax.tree.map(
+        lambda t: to_pp_params(t, cfg) if is_std(t) else t,
+        state, is_leaf=is_std)
+    return shard_pp_state(converted, mesh, pp_axis, cfg=cfg, tp_axis=tp_axis)
+
+
 def shard_pp_state(state: TrainState, mesh: Mesh,
                    pp_axis: str = "pp", cfg: Optional[Config] = None,
                    tp_axis: Optional[str] = None) -> TrainState:

@@ -122,8 +122,9 @@ def make_parallel_train_step(model, cfg: Config, mesh: Mesh,
     )
 
 
-def _gspmd(jitted_step, arg_shardings, out_shardings):
-    """Re-jit a single-device step function with explicit shardings.
+def _gspmd(step, arg_shardings, out_shardings):
+    """Jit a RAW (un-jitted) single-device step function with explicit
+    shardings — the step makers hand it out via their `jit=False` mode.
 
     GSPMD semantics: the SAME traced program as the single-device step,
     with input shardings constraining the layout — XLA partitions the
@@ -131,8 +132,7 @@ def _gspmd(jitted_step, arg_shardings, out_shardings):
     reductions for FGM, batch-permutation all-to-all for MINE) over ICI.
     The result is bit-equivalent to the single-device step on the gathered
     batch (tested in tests/test_sharding.py)."""
-    inner = getattr(jitted_step, "__wrapped__", jitted_step)
-    return jax.jit(inner, in_shardings=arg_shardings,
+    return jax.jit(step, in_shardings=arg_shardings,
                    out_shardings=out_shardings)
 
 
@@ -152,7 +152,7 @@ def make_parallel_attack_step(model, cfg: Config, mesh: Mesh,
     from deepsc_gan_tpu.train.steps import make_train_attack_step
 
     step = make_train_attack_step(model, cfg, channel_kind, full_target,
-                                  adv_weight)
+                                  adv_weight, jit=False)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(dp_axis))
     return _gspmd(step, (repl, data, data, repl, repl, repl, repl), repl)
@@ -160,7 +160,8 @@ def make_parallel_attack_step(model, cfg: Config, mesh: Mesh,
 
 def make_parallel_gan_step(model, cfg: Config, mesh: Mesh,
                            channel_kind: Optional[str] = None,
-                           dp_axis: str = "dp") -> Callable:
+                           dp_axis: str = "dp",
+                           full_target: bool = False) -> Callable:
     """Data-parallel GAN 3-phase train step (reference `gan_train_step`,
     utlis/gan_train.py:8-50, scaled over the mesh). Same program as
     train.gan_steps.make_gan_train_step — shared-Adam filtered-apply
@@ -170,7 +171,8 @@ def make_parallel_gan_step(model, cfg: Config, mesh: Mesh,
     -> (state, (loss, g_loss, d_loss))` with state replicated."""
     from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
 
-    step = make_gan_train_step(model, cfg, channel_kind)
+    step = make_gan_train_step(model, cfg, channel_kind, jit=False,
+                               full_target=full_target)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(dp_axis))
     return _gspmd(step, (repl, data, data, repl, repl), repl)
@@ -188,7 +190,7 @@ def make_parallel_mine_step(model, mine, cfg: Config, mesh: Mesh,
     -> (state, mine_state, (loss, mi))` with both states replicated."""
     from deepsc_gan_tpu.train.mine_steps import make_mine_train_step
 
-    step = make_mine_train_step(model, mine, cfg, channel_kind)
+    step = make_mine_train_step(model, mine, cfg, channel_kind, jit=False)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(dp_axis))
     return _gspmd(step, (repl, repl, data, data, repl, repl), repl)
@@ -207,11 +209,11 @@ def make_parallel_greedy_sweep(model, cfg: Config, mesh: Mesh,
     from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
 
     sweep = make_greedy_decode_sweep(model, cfg, channel_kind,
-                                     position_mode)
+                                     position_mode, jit=False)
     repl = NamedSharding(mesh, P())
     snr_sh = NamedSharding(mesh, P(snr_axis))
     return jax.jit(
-        sweep.__wrapped__,
+        sweep,
         in_shardings=(repl, repl, repl, repl, snr_sh),
         out_shardings=snr_sh,
     )
@@ -230,7 +232,7 @@ def make_parallel_greedy_kv_sweep(model, cfg: Config, mesh: Mesh,
 
     from deepsc_gan_tpu.evaluate.kv_decode import make_greedy_decode_kv
 
-    decode = make_greedy_decode_kv(model, cfg, channel_kind).__wrapped__
+    decode = make_greedy_decode_kv(model, cfg, channel_kind, jit=False)
 
     def local_sweep(params, inp, keys, pnr_db, n_stds):
         return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(
@@ -274,7 +276,7 @@ def make_parallel_beam_sweep(model, cfg: Config, mesh: Mesh,
     from deepsc_gan_tpu.evaluate.beam import make_beam_decode_kv
 
     decode = make_beam_decode_kv(model, cfg, beam_size,
-                                 channel_kind).__wrapped__
+                                 channel_kind, jit=False)
 
     def local_sweep(params, inp, keys, pnr_db, n_stds):
         return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(

@@ -38,6 +38,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -339,6 +340,173 @@ def make_tp_attack_step(model, cfg: Config, mesh: Mesh,
                        in_shardings=(sshard, data, data, repl, repl, repl,
                                      repl),
                        out_shardings=(sshard, (repl, repl)))
+
+    return make
+
+
+def make_tp_gan_step(model, cfg: Config, mesh: Mesh,
+                     channel_kind: Optional[str] = None,
+                     dp_axis: str = "dp", tp_axis: str = "tp",
+                     full_target: bool = False) -> Callable:
+    """Data+tensor-parallel GAN 3-phase train step (the reference's
+    headline training mode, `gan_train_step` utlis/gan_train.py:8-50) over
+    a (dp, tp) mesh — closes the tp column of the mode×parallelism matrix.
+
+    All three losses cross the vocab-parallel projection+CE (shard_map
+    with pmax/psum over tp); the three backward passes each differentiate
+    through its transpose, exactly like the attack step's grad-wrt-y
+    (make_tp_attack_step). The 3-phase selective updates
+    (train.gan_steps.selective_update — shared-Adam filtered-apply
+    semantics) are elementwise over the param tree, so GSPMD applies them
+    shard-local. Numerically equivalent to the single-device
+    make_gan_train_step at dropout=0 and the same key
+    (tests/test_tensor_parallel.py). Returns a curried maker:
+    `make_tp_gan_step(model, cfg, mesh)(state)` -> jitted
+    `step(state, inp, tar, key, n_std) -> (state, (loss, g_loss, d_loss))`."""
+    from deepsc_gan_tpu.train.gan_steps import (
+        GENERATOR,
+        TX_SIDE,
+        phase_mask,
+        selective_update,
+    )
+
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    spec_rule = _vocab_param_spec(cfg, tp_axis)
+    ce_mapped = _build_ce_mapped(cfg, mesh, dp_axis, tp_axis, lkw)
+    hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
+
+    def step(state: TrainState, inp, tar, key, n_std):
+        tar_inp, tar_shift = _shift_targets(tar)
+        # full_target: gan_star's SD decodes at MEMORY length
+        tar_real = tar if full_target else tar_shift
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical key split to the single-device GAN step
+        # (train/gan_steps.py): k_p feeds the unused random perturbation
+        # (traingan=True replaces it with G(tx)), so it is split and
+        # discarded here to keep k_ch/k_do on the same stream
+        _k_p, k_ch, k_do = jax.random.split(key, 3)
+        key_p, key_r = jax.random.split(k_ch)  # TransceiverGAN.__call__
+
+        def losses(params):
+            tx_sym = model.apply({"params": params}, inp, enc_mask,
+                                 deterministic=False,
+                                 rngs={"dropout": k_do}, method="encode")
+            p_gen = model.apply({"params": params}, tx_sym,
+                                method="generate_perturbation")
+            y_p = model.apply({"params": params}, key_p, tx_sym, p_gen,
+                              cfg.gan_pnr_db, n_std, kind, method="transmit")
+            y_r = model.apply({"params": params}, key_r, tx_sym,
+                              jnp.zeros_like(tx_sym), cfg.gan_pnr_db, n_std,
+                              kind, method="transmit")
+            loss = hidden_loss(params, tar_inp, y_r, combined_mask,
+                               dec_mask, k_do, tar_real)
+            ce_p = hidden_loss(params, tar_inp, y_p, combined_mask,
+                               dec_mask, k_do, tar_real)
+            g_loss = cfg.g_loss_ceiling - ce_p
+            d_loss = cfg.gan_lambda * loss + (1.0 - cfg.gan_lambda) * ce_p
+            return loss, g_loss, d_loss
+
+        loss_v, g_v, d_v = losses(state.params)
+        g_codec = jax.grad(lambda q: losses(q)[0])(state.params)
+        g_gen = jax.grad(lambda q: losses(q)[1])(state.params)
+        g_disc = jax.grad(lambda q: losses(q)[2])(state.params)
+
+        state = selective_update(
+            state, g_codec, phase_mask(state.params, exclude=(GENERATOR,)))
+        state = selective_update(
+            state, g_gen, phase_mask(state.params, include=(GENERATOR,)))
+        state = selective_update(
+            state, g_disc, phase_mask(state.params, exclude=TX_SIDE))
+        if state.ema_params is not None:
+            d = state.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, q: d * e + (1.0 - d) * q,
+                state.ema_params, state.params))
+        return state, (loss_v, g_v, d_v)
+
+    def make(state):
+        sshard = _tp_state_shardings(mesh, spec_rule, state)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(dp_axis))
+        return jax.jit(step,
+                       in_shardings=(sshard, data, data, repl, repl),
+                       out_shardings=(sshard, (repl, repl, repl)))
+
+    return make
+
+
+def make_tp_mine_step(model, mine, cfg: Config, mesh: Mesh,
+                      channel_kind: Optional[str] = None,
+                      dp_axis: str = "dp", tp_axis: str = "tp") -> Callable:
+    """Data+tensor-parallel MINE joint train step (quirk Q6 capability,
+    train/mine_steps.py) over a (dp, tp) mesh.
+
+    The transceiver CE runs vocab-parallel (shard_map CE); the MINE
+    statistics net is tiny and stays replicated — its inputs (tx, y) are
+    dp-sharded, and the marginal-sample batch permutation crosses dp
+    shards via the collective XLA inserts (same GSPMD story as
+    parallel.sharding.make_parallel_mine_step). Returns a curried maker:
+    `make_tp_mine_step(model, mine, cfg, mesh)(state)` -> jitted
+    `step(state, mine_state, inp, tar, key, n_std)
+    -> (state, mine_state, (loss, mi))`; pass a replicated `mine_state`
+    (parallel.sharding.replicate)."""
+    from deepsc_gan_tpu.models.mine import mutual_information, sample_batch
+
+    kind = channel_kind or cfg.channel
+    lkw = _loss_kwargs(cfg)
+    lam = cfg.mine_lambda
+    spec_rule = _vocab_param_spec(cfg, tp_axis)
+    ce_mapped = _build_ce_mapped(cfg, mesh, dp_axis, tp_axis, lkw)
+    hidden_loss = _make_hidden_loss(model, cfg, lkw, ce_mapped)
+
+    def step(state: TrainState, mine_state, inp, tar, key, n_std):
+        tar_inp, tar_real = _shift_targets(tar)
+        enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
+                                                         cfg.pad_idx)
+        # identical key split to the single-device MINE step
+        k_ch, k_do, k_perm = jax.random.split(key, 3)
+        p = jnp.zeros((inp.shape[0], cfg.seq_len, cfg.channel_dim),
+                      jnp.float32)
+
+        def net_loss(params, mine_params):
+            tx_sym = model.apply({"params": params}, inp, enc_mask,
+                                 deterministic=False,
+                                 rngs={"dropout": k_do}, method="encode")
+            y = model.apply({"params": params}, k_ch, tx_sym, p, 0.0,
+                            n_std, kind, method="transmit")
+            ce = hidden_loss(params, tar_inp, y, combined_mask, dec_mask,
+                             k_do, tar_real)
+            xm, ym = sample_batch(k_perm, tx_sym, y)
+            t_joint = mine.apply({"params": mine_params}, tx_sym, y)
+            t_marg = mine.apply({"params": mine_params}, xm, ym)
+            mi = mutual_information(t_joint, t_marg)
+            return ce - lam * mi, (ce, mi)
+
+        (_, (ce, mi)), grads = jax.value_and_grad(
+            net_loss, argnums=0, has_aux=True)(state.params,
+                                               mine_state.params)
+        state = state.apply_gradients(grads)
+
+        def mine_obj(mine_params):
+            return -net_loss(state.params, mine_params)[1][1]
+
+        g_mine = jax.grad(mine_obj)(mine_state.params)
+        upd, new_opt = mine_state.tx.update(g_mine, mine_state.opt_state,
+                                            mine_state.params)
+        mine_state = mine_state.replace(
+            params=optax.apply_updates(mine_state.params, upd),
+            opt_state=new_opt)
+        return state, mine_state, (ce, mi)
+
+    def make(state):
+        sshard = _tp_state_shardings(mesh, spec_rule, state)
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(dp_axis))
+        return jax.jit(step,
+                       in_shardings=(sshard, repl, data, data, repl, repl),
+                       out_shardings=(sshard, repl, (repl, repl)))
 
     return make
 

@@ -110,9 +110,15 @@ def _merge_opt_state(new_state, old_state, mask):
 
 
 def make_gan_train_step(model, cfg: Config,
-                        channel_kind: Optional[str] = None) -> Callable:
-    """Returns jitted `step(state, inp, tar, key, n_std)
-    -> (state, (loss, g_loss, d_loss))`.
+                        channel_kind: Optional[str] = None,
+                        jit: bool = True,
+                        full_target: bool = False) -> Callable:
+    """Returns `step(state, inp, tar, key, n_std)
+    -> (state, (loss, g_loss, d_loss))`, jitted unless `jit=False`
+    (parallel makers re-jit the raw step with explicit shardings).
+    `full_target=True` scores the losses against the UN-shifted target —
+    required for the gan_star variant, whose SD decoder outputs at MEMORY
+    length (like every star training path, train/steps.py).
 
     As in the reference (gan_train.py:13-14) the input perturbation is a
     fresh unit-norm gaussian each step — but since traingan=True the
@@ -121,9 +127,9 @@ def make_gan_train_step(model, cfg: Config,
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
 
-    @jax.jit
     def step(state: TrainState, inp, tar, key, n_std):
-        tar_inp, tar_real = _shift_targets(tar)
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
         k_p, k_ch, k_do = jax.random.split(key, 3)
@@ -169,15 +175,18 @@ def make_gan_train_step(model, cfg: Config,
                 state.ema_params, state.params))
         return state, (loss_v, g_v, d_v)
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 def make_gan_eval_step(model, cfg: Config,
-                       channel_kind: Optional[str] = None) -> Callable:
+                       channel_kind: Optional[str] = None,
+                       full_target: bool = False) -> Callable:
     """FGM-style eval of the GAN model (reference `eval_step` in
     gan_train.py:53-83 and `eval_step_FGM` in eval.py:367-409): grad of the
     clean loss w.r.t. the clean received y_r -> perturbation -> re-forward.
-    Returns jitted `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    `full_target=True` for the star-codec gan_star variant (SD decodes at
+    memory length). Returns jitted
+    `step(state, inp, tar, key, pnr_db, n_std, epsilon)
     -> (clean_loss, attacked_loss, clean_logits, attacked_logits)`."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
@@ -186,7 +195,8 @@ def make_gan_eval_step(model, cfg: Config,
     @jax.jit
     def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
         params = state.params
-        tar_inp, tar_real = _shift_targets(tar)
+        tar_inp, tar_shift = _shift_targets(tar)
+        tar_real = tar if full_target else tar_shift
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
                                                          cfg.pad_idx)
         k1, k2 = jax.random.split(key)

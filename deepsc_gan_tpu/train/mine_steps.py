@@ -47,14 +47,15 @@ def create_mine_state(cfg: Config, key, lr: float = 1e-3,
 
 
 def make_mine_train_step(model, mine: MINE, cfg: Config,
-                         channel_kind: Optional[str] = None) -> Callable:
-    """Returns jitted `step(state, mine_state, inp, tar, key, n_std)
-    -> (state, mine_state, (loss, mi))`."""
+                         channel_kind: Optional[str] = None,
+                         jit: bool = True) -> Callable:
+    """Returns `step(state, mine_state, inp, tar, key, n_std)
+    -> (state, mine_state, (loss, mi))`, jitted unless `jit=False`
+    (parallel makers re-jit the raw step with explicit shardings)."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
     lam = cfg.mine_lambda
 
-    @jax.jit
     def step(state: TrainState, mine_state: MineState, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
         enc_mask, combined_mask, dec_mask = create_masks(inp, tar_inp,
@@ -93,4 +94,4 @@ def make_mine_train_step(model, mine: MINE, cfg: Config,
             opt_state=new_opt)
         return state, mine_state, (ce, mi)
 
-    return step
+    return jax.jit(step) if jit else step

@@ -269,7 +269,8 @@ def make_train_multi_step(model, cfg: Config,
 def make_train_attack_step(model, cfg: Config,
                            channel_kind: Optional[str] = None,
                            full_target: bool = False,
-                           adv_weight: float = 1.0) -> Callable:
+                           adv_weight: float = 1.0,
+                           jit: bool = True) -> Callable:
     """FGM adversarial step (reference `train_attack_step`,
     trainer.py:30-64). `full_target=True` reproduces the reference's use of
     the UN-shifted target as `tar_real` (trainer.py:32) — only valid for
@@ -281,13 +282,13 @@ def make_train_attack_step(model, cfg: Config,
     scales collapses clean quality (RESULTS.md); w~0.5 is the standard
     robust-training remedy, offered as an extension.
 
-    Returns jitted `step(state, inp, tar, key, pnr_db, n_std, epsilon)
-    -> (state, (clean_loss, adv_loss))`."""
+    Returns `step(state, inp, tar, key, pnr_db, n_std, epsilon)
+    -> (state, (clean_loss, adv_loss))`, jitted unless `jit=False`
+    (parallel makers re-jit the raw step with explicit shardings)."""
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
     from deepsc_gan_tpu.train.attacks import fgm_normalize
 
-    @functools.partial(jax.jit, static_argnames=())
     def step(state: TrainState, inp, tar, key, pnr_db, n_std, epsilon):
         tar_inp, tar_shift = _shift_targets(tar)
         tar_real = tar if full_target else tar_shift
@@ -333,7 +334,7 @@ def make_train_attack_step(model, cfg: Config,
             adv_loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), (clean_loss, adv_loss)
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 def make_eval_step_pgd(model, cfg: Config,

@@ -19,6 +19,10 @@ Two modes:
       multi-controller analogue of a pipeline spanning pod slices over
       DCN. Pipeline-layout params are placed with
       jax.make_array_from_callback under the pp sharding rule.
+  --mode tp: `make_tp_train_step` over a (tp=2, dp=4) mesh whose tp axis
+      IS the process boundary — the vocab-parallel CE's pmax/psum
+      collectives cross Gloo every step (and their transposes in the
+      backward).
 
 Usage: python scripts/multihost_demo.py [--mode dp|pp] [--steps 3]
 [--port 29417] (the `worker` subcommand is internal).
@@ -189,6 +193,82 @@ def _losses_pp(steps: int, seed: int = 0):
     return losses
 
 
+def _losses_tp(steps: int, seed: int = 0):
+    """`steps` vocab-tensor-parallel train steps over a (tp=2, dp=4) mesh
+    built from the GLOBAL device list — under 2 processes the tp axis is
+    exactly the process boundary, so the vocab-parallel CE's pmax/psum
+    collectives (parallel/tensor_parallel.py) cross Gloo on every step:
+    the last §5.8 path exercised multi-controller. Identical program in
+    both topologies."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.parallel.sharding import replicate_global
+    from deepsc_gan_tpu.parallel.tensor_parallel import (
+        _vocab_param_spec,
+        make_tp_train_step,
+    )
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import Config
+
+    n = N_PROC * LOCAL_DEV
+    tp, dp = 2, n // 2
+    cfg = Config(vocab_size=64, bs=2 * dp, seq_len=12, max_length=11,
+                 encoder_num_layer=1, decoder_num_layer=1,
+                 encoder_d_model=16, decoder_d_model=16,
+                 encoder_d_ff=32, decoder_d_ff=32,
+                 encoder_num_heads=2, decoder_num_heads=2,
+                 channel_hidden=16, channel_dim=8, channel_dec_hidden=16,
+                 dtype="float32")
+    mesh = Mesh(np.array(jax.devices()).reshape(tp, dp), ("tp", "dp"))
+    model = make_model(cfg, "transformer")
+
+    # every process computes the identical init (same seed);
+    # make_array_from_callback hands each device its shard under the
+    # vocab-sharding rule (the multi-controller shard_tp_state)
+    base = create_train_state(model, cfg, jax.random.PRNGKey(seed))
+    rule = _vocab_param_spec(cfg, "tp")
+
+    def put(path, leaf):
+        x = np.asarray(leaf)
+        spec = rule(path, leaf)
+        if spec != P() and x.ndim < len(spec):
+            spec = P()  # scalar bookkeeping leaf that path-matched
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx, x=x: x[idx])
+
+    state = base.replace(
+        step=replicate_global(np.asarray(base.step), mesh),
+        params=jax.tree_util.tree_map_with_path(
+            put, jax.device_get(base.params)),
+        opt_state=jax.tree_util.tree_map_with_path(
+            put, jax.device_get(base.opt_state)))
+
+    step = make_tp_train_step(model, cfg, mesh)(base)
+    rng = np.random.default_rng(7)
+    batches = rng.integers(0, cfg.vocab_size,
+                           size=(steps, cfg.bs, cfg.seq_len)).astype("int32")
+    data_sh = NamedSharding(mesh, P("dp"))
+    losses = []
+    for i in range(steps):
+        # batch rows shard over dp WITHIN each process (tp is the process
+        # boundary); every process holds the full batch, so the callback
+        # hands each device its row-slice directly
+        bi = batches[i]
+        b = jax.make_array_from_callback(bi.shape, data_sh,
+                                         lambda idx, bi=bi: bi[idx])
+        state, loss = step(state, b, b,
+                           replicate_global(
+                               np.asarray(jax.random.PRNGKey(100 + i)),
+                               mesh),
+                           replicate_global(np.float32(0.1), mesh))
+        losses.append(float(loss))
+    return losses
+
+
 def worker(pid: int, port: int, steps: int, mode: str) -> None:
     _pin_cpu(LOCAL_DEV)
     import jax
@@ -198,7 +278,8 @@ def worker(pid: int, port: int, steps: int, mode: str) -> None:
         num_processes=N_PROC, process_id=pid)
     assert jax.process_count() == N_PROC
     assert len(jax.devices()) == N_PROC * LOCAL_DEV
-    losses = _losses_pp(steps) if mode == "pp" else _losses(steps)
+    fn = {"dp": _losses, "pp": _losses_pp, "tp": _losses_tp}[mode]
+    losses = fn(steps)
     if pid == 0:
         print("MULTI " + " ".join(f"{l:.6f}" for l in losses), flush=True)
 
@@ -210,7 +291,7 @@ def main() -> None:
     ap.add_argument("pid", nargs="?", type=int, default=0)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--port", type=int, default=29417)
-    ap.add_argument("--mode", default="dp", choices=["dp", "pp"])
+    ap.add_argument("--mode", default="dp", choices=["dp", "pp", "tp"])
     args = ap.parse_args()
 
     if args.cmd == "worker":
@@ -236,7 +317,8 @@ def main() -> None:
 
     # reference: same workload, single process, 8 local devices
     _pin_cpu(N_PROC * LOCAL_DEV)
-    single = (_losses_pp if args.mode == "pp" else _losses)(args.steps)
+    single = {"dp": _losses, "pp": _losses_pp,
+              "tp": _losses_tp}[args.mode](args.steps)
     print(f"1-process {args.mode} losses: {single}")
     assert all(abs(a - b) < 1e-5 for a, b in zip(multi_losses, single)), (
         multi_losses, single)

@@ -212,6 +212,120 @@ def test_tp_attack_step_adv_weight_and_recipe(tiny_cfg, tiny_batch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_tp_gan_step_matches_single_device(tiny_cfg, tiny_batch):
+    """GAN 3-phase step over a (dp=2, tp=2) mesh == the single-device
+    make_gan_train_step at dropout=0 and the same key: all three losses
+    and the updated params agree to reduction-order tolerance. All three
+    backward passes cross the vocab-parallel shard_map CE."""
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_gan_step
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40,
+                           encoder_dropout=0.0, decoder_dropout=0.0)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "gan")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8, traingan=True)
+
+    single = make_gan_train_step(model, cfg)
+    s1, (l1, g1, d1) = single(state, batch, batch, jax.random.PRNGKey(9),
+                              0.1)
+
+    mesh = _tp_mesh(2, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_gan_step(model, cfg, mesh)(state)
+    s2, (l2, g2, d2) = step(state_tp, batch, batch, jax.random.PRNGKey(9),
+                            0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(g1), float(g2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(d1), float(d2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_gan_step_flagship_recipe(tiny_cfg, tiny_batch):
+    """Tied embeddings + label smoothing through the tp GAN step
+    (dp=1, tp=2) still match the single-device step."""
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_gan_step
+    from deepsc_gan_tpu.train.gan_steps import make_gan_train_step
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40, tie_embeddings=True,
+                           label_smoothing=0.1,
+                           encoder_dropout=0.0, decoder_dropout=0.0)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "gan")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8, traingan=True)
+
+    single = make_gan_train_step(model, cfg)
+    s1, (l1, g1, d1) = single(state, batch, batch, jax.random.PRNGKey(11),
+                              0.1)
+
+    mesh = _tp_mesh(1, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    step = make_tp_gan_step(model, cfg, mesh)(state)
+    s2, (l2, g2, d2) = step(state_tp, batch, batch, jax.random.PRNGKey(11),
+                            0.1)
+    assert np.isclose(float(l1), float(l2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(g1), float(g2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(d1), float(d2), rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_mine_step_matches_single_device(tiny_cfg, tiny_batch):
+    """MINE joint step over a (dp=2, tp=2) mesh == the single-device
+    make_mine_train_step at dropout=0 and the same key: CE, the MI
+    estimate (whose marginal permutation crosses dp shards) and both
+    updated param trees agree.
+
+    The MINE net compares under SGD, not its default clipped Adam: dead
+    ReLU units have true-zero statistics-net gradients that float
+    reduction order resolves to 0 or ~1e-10, and Adam's per-coordinate
+    normalization amplifies that sign noise to full lr-sized updates —
+    SGD keeps updates proportional to gradients, so the equivalence
+    claim (same gradients to reduction-order tolerance) is what's
+    actually asserted."""
+    import optax
+
+    from deepsc_gan_tpu.parallel.sharding import replicate
+    from deepsc_gan_tpu.parallel.tensor_parallel import make_tp_mine_step
+    from deepsc_gan_tpu.train.mine_steps import (
+        MineState,
+        create_mine_state,
+        make_mine_train_step,
+    )
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40,
+                           encoder_dropout=0.0, decoder_dropout=0.0)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    mine, mine_state = create_mine_state(cfg, jax.random.PRNGKey(1),
+                                         batch_size=8)
+    sgd = optax.sgd(0.1)
+    mine_state = MineState(params=mine_state.params,
+                           opt_state=sgd.init(mine_state.params), tx=sgd)
+
+    single = make_mine_train_step(model, mine, cfg)
+    s1, m1, (c1, mi1) = single(state, mine_state, batch, batch,
+                               jax.random.PRNGKey(13), 0.1)
+
+    mesh = _tp_mesh(2, 2)
+    state_tp = shard_tp_state(state, mesh, cfg)
+    mine_tp = replicate(mine_state, mesh)
+    step = make_tp_mine_step(model, mine, cfg, mesh)(state)
+    s2, m2, (c2, mi2) = step(state_tp, mine_tp, batch, batch,
+                             jax.random.PRNGKey(13), 0.1)
+    assert np.isclose(float(c1), float(c2), rtol=1e-5, atol=1e-5)
+    assert np.isclose(float(mi1), float(mi2), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(m1.params), jax.tree.leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_tp_star_full_target_matches_single_device(tiny_cfg, tiny_batch):
     """Star variant under (dp=1, tp=2) with full_target=True (the star
     training objective) == the single-device step — the staged tp
