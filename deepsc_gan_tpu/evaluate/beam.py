@@ -155,7 +155,8 @@ def make_beam_decode(model, cfg: Config, beam_size: int = 4,
 
 
 def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
-                        channel_kind: Optional[str] = None) -> Callable:
+                        channel_kind: Optional[str] = None,
+                        jit: bool = True) -> Callable:
     """KV-cached beam search (the serving path): beams fold into the
     batch axis of the incremental per-layer caches, each step computes ONE
     position through the stack, and the caches follow the surviving-beam
@@ -310,21 +311,21 @@ def make_beam_decode_kv(model, cfg: Config, beam_size: int = 4,
         return jnp.take_along_axis(
             tokens, best[:, None, None], axis=1)[:, 0]
 
-    return jax.jit(decode)
+    return jax.jit(decode) if jit else decode
 
 
 def make_beam_decode_sweep(model, cfg: Config, beam_size: int = 4,
-                           channel_kind: Optional[str] = None) -> Callable:
+                           channel_kind: Optional[str] = None,
+                           jit: bool = True) -> Callable:
     """KV-cached beam search across a VECTOR of noise levels in one jitted
     call (mirrors evaluate.greedy.make_greedy_decode_sweep):
     `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`."""
-    decode = make_beam_decode_kv(model, cfg, beam_size, channel_kind)
-    inner = decode.__wrapped__
+    inner = make_beam_decode_kv(model, cfg, beam_size, channel_kind,
+                                jit=False)
 
-    @jax.jit
     def sweep(params, inp, key, pnr_db, n_stds):
         keys = jax.random.split(key, n_stds.shape[0])
         return jax.vmap(inner, in_axes=(None, None, 0, None, 0))(
             params, inp, keys, pnr_db, n_stds)
 
-    return sweep
+    return jax.jit(sweep) if jit else sweep

@@ -159,12 +159,12 @@ def teacher_forced_sweep(
 
     # argmax ON DEVICE: the raw (B, L, 22234) f32 logit pair is ~340MB per
     # batch — pulling that device->host per call dominates (and over a
-    # tunneled TPU, breaks) the sweep; (B, L) int32 ids are ~7KB
-    inner = getattr(step_fn, "__wrapped__", step_fn)
-
+    # tunneled TPU, breaks) the sweep; (B, L) int32 ids are ~7KB.
+    # step_fn may itself be jitted: tracing through a jitted callee
+    # inlines it, so this composes on public API.
     @jax.jit
     def step_ids(state, inp, tar, k, pnr, n_std, eps):
-        out = inner(state, inp, tar, k, pnr, n_std, eps)
+        out = step_fn(state, inp, tar, k, pnr, n_std, eps)
         return (out[0], out[1],
                 jnp.argmax(out[2], axis=-1).astype(jnp.int32),
                 jnp.argmax(out[3], axis=-1).astype(jnp.int32))

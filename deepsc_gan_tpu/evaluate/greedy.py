@@ -101,13 +101,15 @@ def _decode_loop(model, params, mem, enc_padding_mask, batch: int,
 
 def make_greedy_decode(model, cfg: Config,
                        channel_kind: Optional[str] = None,
-                       position_mode: str = "step") -> Callable:
+                       position_mode: str = "step",
+                       jit: bool = True) -> Callable:
     """Clean greedy decode (reference `greedy_decode_noattack`,
-    eval.py:78-117). Returns jitted
-    `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`."""
+    eval.py:78-117). Returns
+    `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`,
+    jitted unless `jit=False` (sweep/parallel makers compose the raw
+    decode under their own jit/vmap/shard_map)."""
     kind = channel_kind or cfg.channel
 
-    @jax.jit
     def decode(params, inp, key, pnr_db, n_std):
         enc_padding_mask = create_padding_mask(inp, cfg.pad_idx)
         tx = model.apply({"params": params}, inp, enc_padding_mask,
@@ -120,12 +122,13 @@ def make_greedy_decode(model, cfg: Config,
                             inp.shape[0], cfg.max_length, cfg.start_idx,
                             cfg.pad_idx, position_mode)
 
-    return decode
+    return jax.jit(decode) if jit else decode
 
 
 def make_greedy_decode_sweep(model, cfg: Config,
                              channel_kind: Optional[str] = None,
-                             position_mode: str = "step") -> Callable:
+                             position_mode: str = "step",
+                             jit: bool = True) -> Callable:
     """Clean greedy decode across a VECTOR of noise levels in ONE jitted
     call: `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`.
 
@@ -134,16 +137,15 @@ def make_greedy_decode_sweep(model, cfg: Config,
     per-dispatch latency S-fold and lets one chip fill its compute with
     S parallel decodes (multi-chip: shard the S axis over the mesh's
     `snr` axis via parallel.sharding)."""
-    decode = make_greedy_decode(model, cfg, channel_kind, position_mode)
-    inner = decode.__wrapped__  # un-jitted single-point decode
+    inner = make_greedy_decode(model, cfg, channel_kind, position_mode,
+                               jit=False)
 
-    @jax.jit
     def sweep(params, inp, key, pnr_db, n_stds):
         keys = jax.random.split(key, n_stds.shape[0])
         return jax.vmap(inner, in_axes=(None, None, 0, None, 0))(
             params, inp, keys, pnr_db, n_stds)
 
-    return sweep
+    return jax.jit(sweep) if jit else sweep
 
 
 def make_greedy_decode_attack(model, cfg: Config,
@@ -197,11 +199,14 @@ def make_greedy_decode_attack(model, cfg: Config,
 
 def make_greedy_decode_gan(model, cfg: Config,
                            channel_kind: Optional[str] = None,
-                           position_mode: str = "step") -> Callable:
+                           position_mode: str = "step",
+                           full_target: bool = False) -> Callable:
     """GAN-model greedy decode (reference `greedy_decode_gan`,
     eval.py:120-187): like the attacked decode but the gradient comes from
     the GAN transceiver's clean branch; also returns the teacher-forced
-    clean argmax `noa`. Returns jitted
+    clean argmax `noa`. `full_target=True` scores the attack-gradient loss
+    against the UN-shifted input (gan_star: SD decodes at memory length).
+    Returns jitted
     `decode(params, inp, key, pnr_db, n_std, epsilon) -> (ids, noa)`."""
     kind = channel_kind or cfg.channel
     from deepsc_gan_tpu.train.steps import _loss_kwargs
@@ -212,7 +217,7 @@ def make_greedy_decode_gan(model, cfg: Config,
         k_grad, k_ch = jax.random.split(key)
         enc_padding_mask = create_padding_mask(inp, cfg.pad_idx)
         tar_inp = inp[:, :-1]
-        tar_real = inp[:, 1:]
+        tar_real = inp if full_target else inp[:, 1:]
         _, combined_mask, dec_mask = create_masks(inp, tar_inp, cfg.pad_idx)
 
         tx = model.apply({"params": params}, inp, enc_padding_mask,

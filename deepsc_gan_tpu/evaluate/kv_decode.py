@@ -89,12 +89,15 @@ def _attend(q, K, V, bias):
 
 
 def make_greedy_decode_kv(model, cfg: Config,
-                          channel_kind: Optional[str] = None) -> Callable:
+                          channel_kind: Optional[str] = None,
+                          jit: bool = True) -> Callable:
     """KV-cached greedy decode, drop-in for
     evaluate.greedy.make_greedy_decode (vanilla transformer variant only —
     star decoders are non-autoregressive there, use position_mode
-    "oneshot"). Returns jitted
-    `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`."""
+    "oneshot"). Returns
+    `decode(params, inp, key, pnr_db, n_std) -> (B, max_length+1) ids`,
+    jitted unless `jit=False` (sweep/parallel makers compose the raw
+    decode under their own jit/vmap/shard_map)."""
     kind = channel_kind or cfg.channel
     dtype = jnp.dtype(cfg.dtype)
     T = cfg.max_length
@@ -188,22 +191,20 @@ def make_greedy_decode_kv(model, cfg: Config,
         buf, _ = jax.lax.fori_loop(0, T, body, (buf, tuple(caches)))
         return buf
 
-    return jax.jit(decode)
+    return jax.jit(decode) if jit else decode
 
 
 def make_greedy_decode_kv_sweep(model, cfg: Config,
-                                channel_kind: Optional[str] = None
-                                ) -> Callable:
+                                channel_kind: Optional[str] = None,
+                                jit: bool = True) -> Callable:
     """KV-cached decode across a VECTOR of noise levels in one jitted call
     (mirrors evaluate.greedy.make_greedy_decode_sweep):
     `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids`."""
-    decode = make_greedy_decode_kv(model, cfg, channel_kind)
-    inner = decode.__wrapped__
+    inner = make_greedy_decode_kv(model, cfg, channel_kind, jit=False)
 
-    @jax.jit
     def sweep(params, inp, key, pnr_db, n_stds):
         keys = jax.random.split(key, n_stds.shape[0])
         return jax.vmap(inner, in_axes=(None, None, 0, None, 0))(
             params, inp, keys, pnr_db, n_stds)
 
-    return sweep
+    return jax.jit(sweep) if jit else sweep

@@ -50,17 +50,45 @@ class StarAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        from deepsc_gan_tpu.ops.attention import ProjKernel
+
         depth = self.d_model // self.num_heads
-        proj = lambda name: nn.DenseGeneral(
-            features=(self.num_heads, depth), axis=-1, use_bias=False,
-            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        self.wq = proj("wq")
-        self.wk = proj("wk")
-        self.wv = proj("wv")
+        shape = (self.d_model, self.num_heads, depth)
+        # bare kernels under the same `wq/wk/wv -> kernel` paths a bias-free
+        # DenseGeneral would declare (ops/attention.py:ProjKernel), so the
+        # projections can be packed into one MXU matmul under
+        # set_qkv_fusion without changing the param tree
+        self.wq = ProjKernel(shape, self.param_dtype)
+        self.wk = ProjKernel(shape, self.param_dtype)
+        self.wv = ProjKernel(shape, self.param_dtype)
         self.out = nn.DenseGeneral(
             features=self.d_model, axis=(-2, -1), use_bias=True,
             dtype=self.dtype, param_dtype=self.param_dtype, name="out")
         self.depth = depth
+
+    # projection helpers (the old DenseGeneral callables); under qkv fusion
+    # the _kv/_qkv variants trace as ONE packed matmul
+    def _q(self, x):
+        from deepsc_gan_tpu.ops.attention import project
+        return project(x, self.wq(), self.dtype)
+
+    def _kv(self, x):
+        from deepsc_gan_tpu.ops.attention import (project, project_packed,
+                                                  qkv_fusion)
+        if qkv_fusion():
+            return project_packed(x, (self.wk(), self.wv()), self.dtype)
+        return (project(x, self.wk(), self.dtype),
+                project(x, self.wv(), self.dtype))
+
+    def _qkv(self, x):
+        from deepsc_gan_tpu.ops.attention import (project, project_packed,
+                                                  qkv_fusion)
+        if qkv_fusion():
+            return project_packed(
+                x, (self.wq(), self.wk(), self.wv()), self.dtype)
+        return (project(x, self.wq(), self.dtype),
+                project(x, self.wk(), self.dtype),
+                project(x, self.wv(), self.dtype))
 
     def satellite(self, h, e, s):
         """One ring update: each h_i attends over
@@ -75,11 +103,13 @@ class StarAttention(nn.Module):
 
         b, l, d = h.shape
         flat = lambda t: t.reshape(t.shape[0], t.shape[1], d)
-        q = flat(self.wq(h))                      # (B,L,D)
-        kh, vh = flat(self.wk(h)), flat(self.wv(h))
-        ke, ve = flat(self.wk(e)), flat(self.wv(e))
-        ks = self.wk(s).reshape(b, 1, d)          # (B,1,D)
-        vs = self.wv(s).reshape(b, 1, d)
+        qh3, kh3, vh3 = self._qkv(h)  # one packed matmul under qkv fusion
+        q, kh, vh = flat(qh3), flat(kh3), flat(vh3)   # (B,L,D)
+        ke3, ve3 = self._kv(e)
+        ke, ve = flat(ke3), flat(ve3)
+        ks3, vs3 = self._kv(s)
+        ks = ks3.reshape(b, 1, d)                 # (B,1,D)
+        vs = vs3.reshape(b, 1, d)
 
         # neighbors: reference cycle_shift uses tf.roll(+-1) on axis 1
         nxt = lambda t: jnp.roll(t, -1, axis=1)
@@ -97,8 +127,8 @@ class StarAttention(nn.Module):
         s: (B,D) -> (B,D). ReLU applied by the caller."""
         ctx = [s[:, None, :], h] + ([h2] if h2 is not None else [])
         m_c = jnp.concatenate(ctx, axis=1)   # (B, 1+L(+Lt), D)
-        q = self.wq(s[:, None, :])           # (B,1,H,dh)
-        k, v = self.wk(m_c), self.wv(m_c)
+        q = self._q(s[:, None, :])           # (B,1,H,dh)
+        k, v = self._kv(m_c)
         scale = jnp.sqrt(jnp.asarray(self.depth, jnp.float32))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / scale
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
@@ -108,7 +138,16 @@ class StarAttention(nn.Module):
     def full(self, q, k, v, mask):
         """Plain MHA through the same weights (used for the decoder's
         masked target self-attention, reference `multi_tar`)."""
-        qh, kh, vh = self.wq(q), self.wk(k), self.wv(v)
+        if q is k and k is v:
+            qh, kh, vh = self._qkv(q)
+        else:
+            qh = self._q(q)
+            if k is v:
+                kh, vh = self._kv(k)
+            else:
+                from deepsc_gan_tpu.ops.attention import project
+                kh = project(k, self.wk(), self.dtype)
+                vh = project(v, self.wv(), self.dtype)
         scale = jnp.sqrt(jnp.asarray(self.depth, jnp.float32))
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32) / scale
         if mask is not None:

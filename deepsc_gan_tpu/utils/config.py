@@ -146,6 +146,12 @@ class Config:
     # train step is HBM-bound on that tensor. Same numerics to ~1e-5.
     fused_ce: bool = True
     ce_chunk: int = 2048
+    # packed QKV projections (ops/attention.py:set_qkv_fusion): trace the
+    # three per-attention Q/K/V matmuls as ONE (D, 3*H*Dh) MXU contraction
+    # (K/V pair-packed for cross-attention). Param tree is identical either
+    # way — the kernels are stacked at trace time — so checkpoints are
+    # interchangeable. A/B-measured in RESULTS.md ("packed QKV").
+    fuse_qkv: bool = False
 
     # --- parallelism (new capability; the reference is single-device)
     dp: int = 1   # data-parallel mesh size
@@ -174,12 +180,12 @@ def default_seq_len(variant: str) -> int:
     length should make the attention row count a multiple of 32.
     Plain transformers attend over exactly L rows, so L=32 aligns. The
     star codec appends ONE relay row to the satellite ring (the
-    reference's `[s; h]` relay context, modules.py:175), so its aligned
+    reference's `[s; h]` relay context, models/modules.py:174), so its aligned
     length is L=31 (31 satellites + relay = 32 rows) — measured 1.066x
     (pallas) / 1.028x (xla) over L=32 on v5e
     (results/star_seq_ab_r4.json; transformer A/B in seq_ab_r4.json).
     """
-    return 31 if variant.startswith("star") else 32
+    return 31 if "star" in variant else 32  # star, star_multi, gan_star
 
 
 def add_config_args(parser: argparse.ArgumentParser) -> None:

@@ -116,11 +116,38 @@ def main():
         print(f"  {dur / 1e3:8.3f} ms  {pct:5.1f}%  {name[:100]}")
         table.append({"name": name, "ms": round(dur / 1e3, 3),
                       "pct": round(pct, 2)})
+
+    # category roll-up: XLA op names are `<family>.<serial>` (copy.12,
+    # fusion.6444, transpose_jvp___.21) — stripping the serial groups the
+    # trace into families, which is what quantifies the "data formatting"
+    # (copy/transpose/bitcast/reshape) bucket vs compute (fusion/conv/dot)
+    cats = defaultdict(float)
+    for name, dur in agg.items():
+        fam = re.sub(r"[.\d]+$", "", name) or name
+        cats[fam] += dur
+    cat_rows = sorted(cats.items(), key=lambda kv: -kv[1])
+    fmt_ms = sum(d for n, d in cats.items()
+                 if re.search(r"copy|transpose|bitcast|reshape|convert",
+                              n, re.I))
+    print("by family:")
+    cat_table = []
+    for name, dur in cat_rows[: args.top]:
+        pct = 100.0 * dur / max(total, 1e-9)
+        print(f"  {dur / 1e3:8.3f} ms  {pct:5.1f}%  {name[:80]}")
+        cat_table.append({"family": name, "ms": round(dur / 1e3, 3),
+                          "pct": round(pct, 2)})
+    print(f"data-formatting families (copy/transpose/bitcast/reshape/"
+          f"convert): {fmt_ms / 1e3:.3f} ms "
+          f"({100.0 * fmt_ms / max(total, 1e-9):.1f}%)")
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"config": vars(args), "total_ms": total / 1e3,
-                       "top": table}, f, indent=1)
+                       "top": table, "by_family": cat_table,
+                       "data_formatting_ms": round(fmt_ms / 1e3, 3),
+                       "data_formatting_pct": round(
+                           100.0 * fmt_ms / max(total, 1e-9), 2)},
+                      f, indent=1)
         print(f"wrote {args.out}")
 
 
