@@ -237,11 +237,46 @@ class TransceiverGAN(_TransceiverBase):
         return pred_p, pred_r, tx, y_r
 
 
+class TransceiverGANStar(TransceiverGAN):
+    """GAN-augmented STAR transceiver — an EXTENSION beyond the reference
+    (its `Transeiver_GAN` is vanilla-only, transceiver.py:247): the same
+    dual-channel 3-phase GAN training story (generator-produced
+    perturbation, channel run twice, both receptions decoded) wrapped
+    around the single-block SE/SD star codec of `Transeiver_Star`
+    (transceiver.py:208-245), so the star variant gets the robustness
+    training the reference reserved for the vanilla codec. Inherits
+    TransceiverGAN.__call__ (pred_p, pred_r, tx, y_r); note SD decodes at
+    MEMORY length — train with full_target=True like the other star
+    paths."""
+
+    def setup(self):
+        cfg = self.cfg
+        dtype, param_dtype = _dtypes(cfg)
+        self.semantic_encoder = SE(
+            cfg.cycle_num, cfg.encoder_num_heads, cfg.encoder_d_model,
+            cfg.encoder_d_ff, cfg.vocab_size, cfg.encoder_dropout,
+            cfg.ffn_mode, dtype=dtype, param_dtype=param_dtype)
+        self.semantic_decoder = SD(
+            cfg.cycle_num, cfg.decoder_d_model, cfg.decoder_num_heads,
+            cfg.decoder_d_ff, cfg.vocab_size, cfg.decoder_dropout,
+            cfg.ffn_mode, tie_embeddings=cfg.tie_embeddings, dtype=dtype,
+            param_dtype=param_dtype)
+        self.generator = Generator(cfg.channel_hidden, cfg.channel_dim,
+                                   dtype=dtype, param_dtype=param_dtype)
+        self.channel_encoder = ChannelEncoder(
+            cfg.channel_hidden, cfg.channel_dim, dtype=dtype,
+            param_dtype=param_dtype)
+        self.channel_decoder = ChannelDecoder(
+            cfg.decoder_d_model, cfg.channel_dec_hidden, dtype=dtype,
+            param_dtype=param_dtype)
+
+
 VARIANTS = {
     "transformer": Transceiver,
     "star_multi": TransceiverStarMulti,
     "star": TransceiverStar,
     "gan": TransceiverGAN,
+    "gan_star": TransceiverGANStar,
 }
 
 

@@ -162,3 +162,38 @@ def test_codec_warm_start_graft(tiny_cfg, gan_setup):
         lambda a, b: jnp.array_equal(a, b),
         grafted["generator"], gan_state.params["generator"]))
     assert ok
+
+
+def test_gan_star_train_and_eval(tiny_cfg, tiny_batch):
+    """gan_star (extension beyond the reference — its Transeiver_GAN is
+    vanilla-only, transceiver.py:247): the 3-phase GAN step runs on the
+    SE/SD star codec with full-target losses, improves the receiver, and
+    the FGM eval step produces memory-length logits."""
+    model = make_model(tiny_cfg, "gan_star")
+    state = create_train_state(model, tiny_cfg, jax.random.PRNGKey(0),
+                               batch_size=tiny_cfg.bs, traingan=True)
+    # param tree carries the star codec AND the generator
+    assert "generator" in state.params
+    assert "block" in state.params["semantic_decoder"]  # SD single block
+
+    step = make_gan_train_step(model, tiny_cfg, full_target=True)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        state, (loss, g_loss, d_loss) = step(state, tiny_batch, tiny_batch,
+                                             sub, 0.02)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first
+    assert np.isfinite(float(g_loss)) and np.isfinite(float(d_loss))
+
+    ev = make_gan_eval_step(model, tiny_cfg, full_target=True)
+    cl, al, clean_logits, att_logits = ev(state, tiny_batch, tiny_batch,
+                                          jax.random.PRNGKey(1), 10.0, 0.1,
+                                          1.0)
+    assert np.isfinite(float(cl)) and np.isfinite(float(al))
+    # star decoders output at MEMORY length (= seq_len), not seq_len - 1
+    assert clean_logits.shape == (tiny_cfg.bs, tiny_cfg.seq_len,
+                                  tiny_cfg.vocab_size)
+    assert att_logits.shape == clean_logits.shape
