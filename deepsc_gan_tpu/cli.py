@@ -68,11 +68,19 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-STAR_VARIANTS = ("star", "star_multi")
+STAR_VARIANTS = ("star", "star_multi", "gan_star")
+GAN_VARIANTS = ("gan", "gan_star")
 
 
 def _is_star(variant: str) -> bool:
+    # gan_star wraps the SE/SD star codec (models/transceiver.py:
+    # TransceiverGANStar): star semantics for seq_len, position mode and
+    # full-target losses
     return variant in STAR_VARIANTS
+
+
+def _is_gan(variant: str) -> bool:
+    return variant in GAN_VARIANTS
 
 
 def _position_mode(variant: str) -> str:
@@ -126,6 +134,10 @@ def _variant_config(args) -> Config:
     cfg = config_from_args(args)
     if getattr(args, "seq_len", None) is None:
         cfg = cfg.replace(seq_len=default_seq_len(args.variant))
+    # one chokepoint for the trace-time QKV packing switch: every command
+    # builds its config here before any step/decode function is traced
+    from deepsc_gan_tpu.ops.attention import set_qkv_fusion
+    set_qkv_fusion(cfg.fuse_qkv)
     return cfg
 
 
@@ -141,9 +153,31 @@ def cmd_train(args) -> None:
     from deepsc_gan_tpu.train.steps import make_step_key
     key = make_step_key(cfg, args.seed)
     model = make_model(cfg, variant)
-    init_kw = {"traingan": True} if variant == "gan" else {}
+    init_kw = {"traingan": True} if _is_gan(variant) else {}
     state = create_train_state(model, cfg, key, **init_kw)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
+
+    # --resume: restore params + Adam moments + step from the latest epoch
+    # checkpoint (always saved in the STANDARD layout — pp runs convert at
+    # save time) and continue from that epoch. The per-epoch PRNG fold-in
+    # and Dataset.set_epoch reseeding below make the resumed run
+    # bit-identical to the uninterrupted one (tests/test_cli.py).
+    start_epoch = 0
+    if args.resume:
+        ckpt_dir = os.path.join(cfg.checkpoint_path, variant)
+        mgr = CheckpointManager(ckpt_dir)
+        latest = mgr.latest_epoch()
+        if latest is None:
+            raise SystemExit(f"--resume: no checkpoint under {ckpt_dir}")
+        state = mgr.restore(state)
+        mgr.close()
+        start_epoch = int(latest)
+        if start_epoch >= cfg.epochs:
+            raise SystemExit(
+                f"--resume: checkpoint is at epoch {start_epoch}, nothing "
+                f"left to train (--epochs {cfg.epochs})")
+        print(f"[train] resumed epoch {start_epoch} from {ckpt_dir} "
+              f"(step {int(state.step)})")
 
     # --- pick the execution path (fastest available for the mode/mesh) ---
     # plain mode on one chip: K-step lax.scan per dispatch (bench-level
@@ -185,8 +219,14 @@ def cmd_train(args) -> None:
         else:
             mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(
                 cfg.pp, cfg.dp), ("pp", "dp"))
-        state = create_pp_train_state(model, cfg, key, mesh, tp_axis=tp_ax,
-                                      **init_kw)
+        if start_epoch > 0:
+            # resumed: convert the restored STANDARD-layout state (params +
+            # moments + EMA) to the stacked pipeline layout
+            from deepsc_gan_tpu.parallel.pipeline import standard_state_to_pp
+            state = standard_state_to_pp(state, cfg, mesh, tp_axis=tp_ax)
+        else:
+            state = create_pp_train_state(model, cfg, key, mesh,
+                                          tp_axis=tp_ax, **init_kw)
         if mode == "attack":
             step = make_pp_attack_step(
                 model, cfg, mesh, n_micro=cfg.pp_microbatches,
@@ -208,18 +248,27 @@ def cmd_train(args) -> None:
     elif cfg.dp > 1 or cfg.tp > 1:
         from deepsc_gan_tpu.parallel.mesh import make_mesh
         if cfg.tp > 1:
-            if mode not in ("plain", "attack"):
-                raise SystemExit(f"--tp supports plain/attack training; "
-                                 f"for mode={mode} use --dp (all modes "
-                                 f"scale data-parallel)")
             from deepsc_gan_tpu.parallel.tensor_parallel import (
-                make_tp_attack_step, make_tp_train_step, shard_tp_state)
+                make_tp_attack_step,
+                make_tp_gan_step,
+                make_tp_mine_step,
+                make_tp_train_step,
+                shard_tp_state,
+            )
             mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
                              axis_names=("tp", "dp"))
             if mode == "attack":
                 step = make_tp_attack_step(
                     model, cfg, mesh, full_target=star,
                     adv_weight=args.adv_weight)(state)
+            elif mode == "gan":
+                step = make_tp_gan_step(model, cfg, mesh,
+                                        full_target=star)(state)
+            elif mode == "mine":
+                from deepsc_gan_tpu.parallel.sharding import replicate
+                mine, mine_state = create_mine_state(cfg, key)
+                step = make_tp_mine_step(model, mine, cfg, mesh)(state)
+                mine_state = replicate(mine_state, mesh)
             else:
                 step = make_tp_train_step(model, cfg, mesh,
                                           full_target=star)(state)
@@ -235,7 +284,8 @@ def cmd_train(args) -> None:
             )
             mesh = make_mesh(dp=cfg.dp, snr=1)
             if mode == "gan":
-                step = make_parallel_gan_step(model, cfg, mesh)
+                step = make_parallel_gan_step(model, cfg, mesh,
+                                              full_target=star)
             elif mode == "attack":
                 step = make_parallel_attack_step(
                     model, cfg, mesh, full_target=star,
@@ -249,7 +299,7 @@ def cmd_train(args) -> None:
             state = replicate(state, mesh)
         path = f"mesh{dict(mesh.shape)}:{mode}"
     elif mode == "gan":
-        step = make_gan_train_step(model, cfg)
+        step = make_gan_train_step(model, cfg, full_target=star)
         path = "gan3phase"
     elif mode == "attack":
         step = make_train_attack_step(model, cfg, full_target=star,
@@ -288,15 +338,28 @@ def cmd_train(args) -> None:
         profiler_ctx = trace(args.profile)
         profiler_ctx.__enter__()
         print(f"[train] profiling epoch 0 -> {args.profile}")
-    step_i = 0
+    # resumed logging offset: the scan path runs n_disp*scan_k steps per
+    # epoch (= len(train_ds) rounded down to a scan_k multiple), so use
+    # the path's effective steps/epoch for the step counter
+    if stacker is not None:
+        steps_per_epoch = max(1, len(train_ds) // scan_k) * scan_k
+    else:
+        steps_per_epoch = len(train_ds)
+    step_i = start_epoch * steps_per_epoch
     t_epoch = time.time()
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
+        # per-epoch PRNG stream + shuffle order are pure functions of
+        # (root key/seed, epoch) — epoch E is identical whether reached by
+        # continuous training or --resume (exact-resume contract)
+        ekey = jax.random.fold_in(key, epoch)
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
         epoch_sents = len(train_ds) * cfg.bs
         if stacker is not None:
             n_disp = max(1, len(train_ds) // scan_k)
             epoch_sents = n_disp * scan_k * cfg.bs
             for _ in range(n_disp):
-                key, sub = jax.random.split(key)
+                ekey, sub = jax.random.split(ekey)
                 batch = jax.numpy.asarray(next(stacker))
                 state, losses = step(state, batch, batch, sub, n_std)
                 step_i += scan_k
@@ -305,7 +368,7 @@ def cmd_train(args) -> None:
                                loss=losses[-1])
         else:
             for inp, tar in train_ds:
-                key, sub = jax.random.split(key)
+                ekey, sub = jax.random.split(ekey)
                 if mesh is not None and cfg.tp == 1:
                     from deepsc_gan_tpu.parallel.sharding import shard_batch
                     inp = shard_batch(jax.numpy.asarray(inp), mesh)
@@ -385,7 +448,7 @@ def cmd_evaluate(args) -> None:
 
     key = jax.random.PRNGKey(args.seed)
     model = make_model(cfg, variant)
-    init_kw = {"traingan": True} if variant == "gan" else {}
+    init_kw = {"traingan": True} if _is_gan(variant) else {}
     state = create_train_state(model, cfg, key, **init_kw)
     state = _restore_latest(cfg, variant, state, tag="eval")
 
@@ -494,15 +557,16 @@ def cmd_evaluate(args) -> None:
                                            full_target=star)
         extra = (args.epsilon,)
     elif args.eval_mode == "greedy_gan":
-        decode = make_greedy_decode_gan(model, cfg, position_mode=pm)
+        decode = make_greedy_decode_gan(model, cfg, position_mode=pm,
+                                        full_target=star)
         extra = (args.epsilon,)
     else:  # teacher-forced eval with FGM or PGD attack
-        if variant == "gan":
+        if _is_gan(variant):
             # the GAN transceiver returns (pred_p, pred_r, tx, y_r) — its
             # teacher-forced FGM eval has its own step (reference
             # eval_step_FGM); PGD is not defined for it in the reference
             from deepsc_gan_tpu.train.gan_steps import make_gan_eval_step
-            step = make_gan_eval_step(model, cfg)
+            step = make_gan_eval_step(model, cfg, full_target=star)
         elif args.eval_mode == "pgd":
             from deepsc_gan_tpu.train.steps import make_eval_step_pgd
             step = make_eval_step_pgd(model, cfg, full_target=star)
@@ -554,7 +618,7 @@ def cmd_transmit(args) -> None:
     variant = args.variant
     pm = _position_mode(variant)
     model = make_model(cfg, variant)
-    init_kw = {"traingan": True} if variant == "gan" else {}
+    init_kw = {"traingan": True} if _is_gan(variant) else {}
     state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
                                **init_kw)
     state = _restore_latest(cfg, variant, state, tag="transmit")
@@ -587,24 +651,57 @@ def cmd_transmit(args) -> None:
 
 
 def cmd_export(args) -> None:
-    """Serialize the greedy-decode SNR sweep as a self-contained StableHLO
+    """Serialize the decode SNR sweep as a self-contained StableHLO
     artifact (jax.export): weights baked in as constants, callable from
     any JAX (or StableHLO-consuming) runtime without this package —
     `export.deserialize(blob).call(inp, seed, pnr_db, n_stds)`. The
-    deployment story the reference (a notebook codebase) never had."""
+    deployment story the reference (a notebook codebase) never had; the
+    reference workload being deployed is its serving loop
+    (utlis/eval.py:99-115).
+
+    The artifact contains the PRODUCTION serving path: the KV-cached
+    greedy decoder for autoregressive variants (O(L) stack passes —
+    6.8x the full-prefix export's throughput, RESULTS.md "Serving
+    export"), the single-pass one-shot decode for star variants, or the
+    KV-cached beam search (--decoder beam, scored through the portable
+    XLA scorer since a Pallas custom call does not serialize across
+    runtimes). --decoder full keeps the full-prefix oracle."""
     from jax import export as jexport
 
     cfg = _variant_config(args)
     variant = args.variant
     pm = _position_mode(variant)
     model = make_model(cfg, variant)
-    init_kw = {"traingan": True} if variant == "gan" else {}
+    init_kw = {"traingan": True} if _is_gan(variant) else {}
     state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
                                **init_kw)
     state = _restore_latest(cfg, variant, state, tag="export")
 
-    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
-    sweep = make_greedy_decode_sweep(model, cfg, position_mode=pm)
+    decoder = args.decoder
+    if decoder == "auto":
+        # serving default: KV cache where the decoder is autoregressive,
+        # the (already single-pass) one-shot sweep for star codecs
+        decoder = "kv" if pm == "step" else "full"
+    if decoder in ("kv", "beam") and pm != "step":
+        raise SystemExit(f"--decoder {decoder} requires an autoregressive "
+                         "decoder (vanilla transformer/gan); star decoders "
+                         "are non-autoregressive — their one-shot sweep IS "
+                         "the serving path (--decoder auto/full)")
+    restore_mode = None
+    if decoder == "kv":
+        from deepsc_gan_tpu.evaluate.kv_decode import (
+            make_greedy_decode_kv_sweep)
+        sweep = make_greedy_decode_kv_sweep(model, cfg)
+    elif decoder == "beam":
+        from deepsc_gan_tpu.evaluate.beam import make_beam_decode_sweep
+        from deepsc_gan_tpu.ops.pallas.topk import (
+            set_topk_kernel_mode, topk_kernel_mode)
+        restore_mode = topk_kernel_mode()
+        set_topk_kernel_mode("xla")  # portable scorer inside the artifact
+        sweep = make_beam_decode_sweep(model, cfg, beam_size=args.beam_size)
+    else:
+        from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+        sweep = make_greedy_decode_sweep(model, cfg, position_mode=pm)
     params = state.params
 
     def serve(inp, seed, pnr_db, n_stds):
@@ -628,6 +725,9 @@ def cmd_export(args) -> None:
     ex_pnr = jax.ShapeDtypeStruct((), jnp.float32)
     exp = jexport.export(jax.jit(serve))(ex_inp, ex_seed, ex_pnr, ex_nstd)
     blob = exp.serialize()
+    if restore_mode is not None:
+        from deepsc_gan_tpu.ops.pallas.topk import set_topk_kernel_mode
+        set_topk_kernel_mode(restore_mode)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -667,7 +767,8 @@ def main(argv=None) -> None:
         p = sub.add_parser(name)
         add_config_args(p)
         p.add_argument("--variant", default="transformer",
-                       choices=["transformer", "star", "star_multi", "gan"])
+                       choices=["transformer", "star", "star_multi", "gan",
+                                "gan_star"])
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--pnr-db", type=float, default=0.0)
         p.add_argument("--epsilon", type=float, default=1.0)
@@ -686,6 +787,12 @@ def main(argv=None) -> None:
             p.add_argument("--ckpt-every", type=int, default=10,
                            help="checkpoint every N epochs (the final epoch "
                                 "always saves)")
+            p.add_argument("--resume", action="store_true",
+                           help="continue from the latest epoch checkpoint "
+                                "(params + Adam moments + step + EMA; "
+                                "bit-identical to the uninterrupted run). "
+                                "mine mode: the MINE statistics net "
+                                "restarts fresh")
             p.add_argument("--profile", default=None, metavar="DIR",
                            help="capture a jax.profiler device trace of the "
                                 "first epoch into DIR (TensorBoard-viewable)")
@@ -721,7 +828,8 @@ def main(argv=None) -> None:
              "and print what the receiver decodes")
     add_config_args(tx)
     tx.add_argument("--variant", default="transformer",
-                    choices=["transformer", "star", "star_multi", "gan"])
+                    choices=["transformer", "star", "star_multi", "gan",
+                                "gan_star"])
     tx.add_argument("--seed", type=int, default=0)
     tx.add_argument("--snr", type=float, default=6.0)
     tx.add_argument("--pnr-db", type=float, default=0.0)
@@ -731,12 +839,23 @@ def main(argv=None) -> None:
 
     ex = sub.add_parser(
         "export",
-        help="serialize the greedy-decode sweep (weights baked in) as a "
-             "self-contained StableHLO artifact via jax.export")
+        help="serialize the serving decode sweep (weights baked in) as a "
+             "self-contained StableHLO artifact via jax.export — KV-cached "
+             "greedy by default (--decoder)")
     add_config_args(ex)
     ex.add_argument("--variant", default="transformer",
-                    choices=["transformer", "star", "star_multi", "gan"])
+                    choices=["transformer", "star", "star_multi", "gan",
+                                "gan_star"])
     ex.add_argument("--seed", type=int, default=0)
+    ex.add_argument("--decoder", default="auto",
+                    choices=["auto", "kv", "beam", "full"],
+                    help="serving path inside the artifact: auto = "
+                         "KV-cached greedy for autoregressive variants / "
+                         "one-shot sweep for star; kv = KV-cached greedy; "
+                         "beam = KV-cached beam search (portable XLA "
+                         "scorer); full = full-prefix oracle decoder")
+    ex.add_argument("--beam-size", type=int, default=4,
+                    help="--decoder beam: beam width")
     ex.add_argument("--snr-points", type=int, default=19,
                     help="sweep length for --static-shapes (the default "
                          "artifact takes any length — and any batch — "

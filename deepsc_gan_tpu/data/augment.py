@@ -78,6 +78,7 @@ class AugmentedDataset:
         self.end_idx = end_idx
         self.pad_idx = pad_idx
         self.first_word_id = first_word_id
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
         # empirical length distribution drives synthetic lengths so the
         # pad/position statistics match the real data
@@ -86,6 +87,12 @@ class AugmentedDataset:
 
     def __len__(self) -> int:
         return len(self.words) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffles AND augmentation draws as a pure function of
+        (seed, epoch) — see loader.Dataset.set_epoch (exact-resume
+        contract)."""
+        self._rng = np.random.default_rng((self.seed, epoch))
 
     def _frame(self, words: List[int]) -> np.ndarray:
         out = np.full(self.seq_len, self.pad_idx, dtype=np.int32)

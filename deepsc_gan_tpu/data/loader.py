@@ -45,7 +45,15 @@ class Dataset:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle stream as a pure function of (seed, epoch),
+        so epoch E's batch order is identical whether reached by
+        continuous training or by `cli train --resume` — the exact-resume
+        contract (tests/test_cli.py)."""
+        self._rng = np.random.default_rng((self.seed, epoch))
 
     def __len__(self) -> int:
         n = len(self.data) // self.batch_size

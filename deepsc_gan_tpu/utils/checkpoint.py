@@ -41,6 +41,9 @@ class CheckpointManager:
              extra: Optional[dict] = None) -> None:
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "step": state.step}
+        if state.ema_params is not None:
+            # the EMA shadow is part of exact resume (cli train --resume)
+            payload["ema_params"] = state.ema_params
         if extra:
             payload["extra"] = extra
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
@@ -63,11 +66,33 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         template = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step}
-        restored = self._mgr.restore(
-            epoch, args=ocp.args.StandardRestore(template))
+        if state.ema_params is not None:
+            template["ema_params"] = state.ema_params
+        try:
+            restored = self._mgr.restore(
+                epoch, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # template/checkpoint EMA presence mismatch (checkpoint written
+            # with a different --ema-decay setting): toggle and retry
+            if "ema_params" in template:
+                template.pop("ema_params")
+            else:
+                template["ema_params"] = state.params
+            restored = self._mgr.restore(
+                epoch, args=ocp.args.StandardRestore(template))
+        if state.ema_params is None:
+            ema = None  # caller runs without EMA regardless of the payload
+        elif "ema_params" in restored:
+            ema = restored["ema_params"]
+        else:
+            # checkpoint predates EMA: re-seed the shadow from the params
+            import jax
+            import jax.numpy as jnp
+            ema = jax.tree.map(jnp.copy, restored["params"])
         return state.replace(params=restored["params"],
                              opt_state=restored["opt_state"],
-                             step=restored["step"])
+                             step=restored["step"],
+                             ema_params=ema)
 
     def close(self):
         self._mgr.close()

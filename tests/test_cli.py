@@ -327,6 +327,108 @@ def test_cli_export_roundtrip(tmp_path, variant):
         assert np.asarray(ids).shape == (s, b, 12)
 
 
+def test_cli_export_kv_token_identity(tmp_path):
+    """The deployed artifact IS the production serving path: `export`
+    (default --decoder auto -> kv for autoregressive variants) serializes
+    the KV-cached greedy sweep, and the deserialized blob decodes
+    token-identically to the in-framework KV path from the same
+    checkpoint (VERDICT r4 item 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from deepsc_gan_tpu.cli import _restore_latest
+    from deepsc_gan_tpu.evaluate.kv_decode import make_greedy_decode_kv_sweep
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import para_config
+
+    ckpt = str(tmp_path / "ckpt")
+    common = TINY + [
+        "--train-save-path", str(tmp_path / "m.pkl"),
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", ckpt,
+        "--log-save-path", str(tmp_path / "log"),
+    ]
+    cli.main(["train", "--variant", "transformer", "--scan-steps", "1",
+              "--log-every", "1000"] + common)
+    out = str(tmp_path / "serve.stablehlo")
+    cli.main(["export", "--variant", "transformer", "--out", out] + common)
+
+    # in-framework KV path from the same checkpoint
+    cfg = para_config(common)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = _restore_latest(cfg, "transformer", state, tag="test")
+    sweep = make_greedy_decode_kv_sweep(model, cfg)
+
+    inp = jnp.array(np.random.default_rng(7).integers(
+        0, cfg.vocab_size, (5, cfg.seq_len)), jnp.int32)
+    n_stds = jnp.array([0.1, 0.5, 1.0], jnp.float32)
+    want = np.asarray(sweep(state.params, inp, jax.random.PRNGKey(3),
+                            jnp.float32(0.0), n_stds))
+    with open(out, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    got = np.asarray(exp.call(inp, jnp.int32(3), jnp.float32(0.0), n_stds))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_export_beam(tmp_path):
+    """--decoder beam exports the KV-cached beam search through the
+    portable XLA scorer; the artifact matches the in-framework beam
+    decode with the scorer pinned to the same mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from deepsc_gan_tpu.cli import _restore_latest
+    from deepsc_gan_tpu.evaluate.beam import make_beam_decode_sweep
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.ops.pallas.topk import (set_topk_kernel_mode,
+                                                topk_kernel_mode)
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import para_config
+
+    out = str(tmp_path / "beam.stablehlo")
+    common = TINY + [
+        "--vocab-path", str(tmp_path / "m.json"),
+        "--checkpoint-path", str(tmp_path / "ckpt"),
+        "--log-save-path", str(tmp_path / "log"),
+    ]
+    cli.main(["export", "--variant", "transformer", "--decoder", "beam",
+              "--beam-size", "2", "--out", out] + common)
+
+    cfg = para_config(common)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = _restore_latest(cfg, "transformer", state, tag="test")
+    prev = topk_kernel_mode()
+    set_topk_kernel_mode("xla")
+    try:
+        sweep = make_beam_decode_sweep(model, cfg, beam_size=2)
+        inp = jnp.array(np.random.default_rng(7).integers(
+            0, cfg.vocab_size, (4, cfg.seq_len)), jnp.int32)
+        n_stds = jnp.array([0.2, 0.8], jnp.float32)
+        want = np.asarray(sweep(state.params, inp, jax.random.PRNGKey(1),
+                                jnp.float32(0.0), n_stds))
+    finally:
+        set_topk_kernel_mode(prev)
+    with open(out, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    got = np.asarray(exp.call(inp, jnp.int32(1), jnp.float32(0.0), n_stds))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cli_export_star_rejects_kv():
+    """Star decoders are non-autoregressive; --decoder kv/beam must be
+    rejected with a pointer at the one-shot serving path."""
+    with pytest.raises(SystemExit, match="autoregressive"):
+        cli.main(["export", "--variant", "star", "--decoder", "kv",
+                  "--out", "/tmp/never.stablehlo"] + TINY)
+
+
 def test_cli_export_static_shapes(tmp_path):
     """--static-shapes pins the signature to (cfg.bs, --snr-points)."""
     import numpy as np
@@ -374,16 +476,126 @@ def test_cli_train_pp_then_evaluate(tmp_path):
     assert os.path.exists(os.path.join(log, "test-transformer-greedy.pkl"))
 
     # unsupported compositions fail loudly, not silently (every train
-    # MODE now runs under pp — tested in test_pipeline.py — so the
-    # remaining invalid axes are variant mismatches)
+    # MODE now runs under pp AND tp — tested in test_pipeline.py /
+    # test_tensor_parallel.py — so the remaining invalid axes are
+    # variant mismatches)
     with pytest.raises(SystemExit):  # star is not a homogeneous chain
         cli.main(["train", "--variant", "star", "--pp", "2"] + common)
     with pytest.raises(SystemExit):  # gan mode needs the gan variant
         cli.main(["train", "--variant", "transformer", "--pp", "2",
                   "--train-mode", "gan"] + common)
-    with pytest.raises(SystemExit):  # gan mode has no tp step
-        cli.main(["train", "--variant", "gan", "--tp", "2",
-                  "--train-mode", "gan"] + common)
+
+
+def test_cli_train_tp_gan_and_mine(tmp_path):
+    """--tp 2 now drives GAN 3-phase and MINE training through the CLI
+    (round-4 VERDICT item 2: the tp column of the mode x parallelism
+    matrix is complete)."""
+    for mode, variant in (("gan", "gan"), ("mine", "transformer")):
+        ckpt = str(tmp_path / f"ckpt_{mode}")
+        log = str(tmp_path / f"log_{mode}")
+        common = TINY + [
+            "--train-save-path", str(tmp_path / "missing.pkl"),
+            "--checkpoint-path", ckpt, "--log-save-path", log,
+        ]
+        cli.main(["train", "--variant", variant, "--tp", "2",
+                  "--train-mode", mode, "--log-every", "1000"] + common)
+        assert os.path.isdir(os.path.join(ckpt, variant))
+
+
+def _restore_epoch(ckpt_dir, cfg_args, epoch):
+    """Restore checkpoint `epoch` into a fresh template state and return
+    its leaves as numpy arrays (params + opt_state + step)."""
+    import jax
+    import numpy as np
+
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.checkpoint import CheckpointManager
+    from deepsc_gan_tpu.utils.config import para_config
+
+    cfg = para_config(cfg_args)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(os.path.join(ckpt_dir, "transformer"))
+    state = mgr.restore(state, epoch=epoch)
+    mgr.close()
+    return [np.asarray(x) for x in
+            jax.tree.leaves((state.params, state.opt_state, state.step))]
+
+
+def test_cli_train_resume_bit_equal(tmp_path):
+    """train 2 epochs + `--resume` for 2 more == train 4 epochs straight,
+    BIT-equal in params, Adam moments and step (round-4 VERDICT item 3).
+    The per-epoch PRNG fold-in and Dataset.set_epoch reseeding make
+    epoch E identical however it is reached."""
+    import numpy as np
+
+    corpus = str(tmp_path / "train.pkl")
+    _write_tiny_corpus(corpus)
+    base = TINY[:-2]  # drop ("--epochs", "1")
+
+    def run(ckpt, extra):
+        common = base + [
+            "--train-save-path", corpus,
+            "--checkpoint-path", ckpt,
+            "--log-save-path", str(tmp_path / "log"),
+        ]
+        cli.main(["train", "--variant", "transformer", "--scan-steps", "1",
+                  "--ckpt-every", "2", "--log-every", "1000"]
+                 + extra + common)
+
+    ck_a = str(tmp_path / "ckpt_a")
+    run(ck_a, ["--epochs", "4"])
+    ck_b = str(tmp_path / "ckpt_b")
+    run(ck_b, ["--epochs", "2"])
+    run(ck_b, ["--epochs", "4", "--resume"])
+
+    cfg_args = base + ["--epochs", "4"]
+    a = _restore_epoch(ck_a, cfg_args, 4)
+    b = _restore_epoch(ck_b, cfg_args, 4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y), "resume diverged from straight run"
+
+    # resuming with nothing left to train fails loudly
+    with pytest.raises(SystemExit):
+        run(ck_b, ["--epochs", "4", "--resume"])
+
+
+def test_cli_train_resume_pp(tmp_path):
+    """The same resume contract through the GPipe pipeline path: the
+    standard-layout checkpoint is reconverted to the stacked pp layout
+    (standard_state_to_pp) and the resumed run matches the straight one
+    bit-for-bit."""
+    import numpy as np
+
+    corpus = str(tmp_path / "train.pkl")
+    _write_tiny_corpus(corpus)
+    base = TINY[:-2] + ["--encoder-num-layer", "2",
+                        "--decoder-num-layer", "2"]
+
+    def run(ckpt, extra):
+        common = base + [
+            "--train-save-path", corpus,
+            "--checkpoint-path", ckpt,
+            "--log-save-path", str(tmp_path / "log"),
+        ]
+        cli.main(["train", "--variant", "transformer", "--pp", "2",
+                  "--dp", "2", "--pp-microbatches", "2",
+                  "--ckpt-every", "2", "--log-every", "1000"]
+                 + extra + common)
+
+    ck_a = str(tmp_path / "ckpt_a_pp")
+    run(ck_a, ["--epochs", "4"])
+    ck_b = str(tmp_path / "ckpt_b_pp")
+    run(ck_b, ["--epochs", "2"])
+    run(ck_b, ["--epochs", "4", "--resume"])
+
+    cfg_args = base + ["--epochs", "4"]
+    a = _restore_epoch(ck_a, cfg_args, 4)
+    b = _restore_epoch(ck_b, cfg_args, 4)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y), "pp resume diverged from straight run"
 
 
 def test_cli_variant_seq_len_default():
