@@ -62,3 +62,36 @@ def test_sweep_tuple_decoder_output():
     table = snr_sweep_bleu(tuple_decode, None, [batch], vocab, cfg,
                            snrs=[3], decode_extra_args=(1.0,))
     assert abs(table[0][1] - 1.0) < 1e-9
+
+
+def test_combined_eval_artifact_loader_compat():
+    """results/eval-ours.pkl (scripts/combined_eval_table.py) must be
+    indexable exactly like the reference's headline robustness artifact
+    (/root/reference/DeepSC-GAN/log/eval-D-GAN-STAR/eval.pkl, SURVEY §6):
+    3 groups x 19 SNR rows x 7 columns, row =
+    [snr, att_1, clean_1, att_2, clean_2, att_3, clean_3]."""
+    import os
+
+    import pytest
+
+    from deepsc_gan_tpu.evaluate.evaluator import load_result_table
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "results", "eval-ours.pkl")
+    if not os.path.exists(path):
+        pytest.skip("artifact not generated (TPU sweep)")
+    ours = load_result_table(path)
+    a = np.asarray(ours, dtype=np.float64)  # same dtype as the reference
+    assert a.shape == (3, 19, 7)
+    # SNR column is the 0..18 dB grid in every group (reference bytes)
+    for g in range(3):
+        assert [row[0] for row in ours[g]] == list(range(19))
+    # metric columns are BLEU in [0, 1]
+    assert a[:, :, 1:].min() >= 0.0 and a[:, :, 1:].max() <= 1.0
+    # the reference-notebook consumer pattern: unzip one (att, clean)
+    # pair as two curves per group — attacked should not beat clean
+    # on average (the attack hurts)
+    for g in range(3):
+        att = a[g, :, 1::2]
+        clean = a[g, :, 2::2]
+        assert att.mean() <= clean.mean() + 1e-6
