@@ -162,6 +162,97 @@ def bench_decode(batch_size: int, dtype: str, mode: str, snr_points: int,
     return batch_size * snr_points / best
 
 
+def bench_export_decode(batch_size: int, dtype: str, snr_points: int,
+                        reps: int, warmup: int):
+    """Serving throughput THROUGH THE EXPORT ARTIFACT: serialize the
+    KV-cached greedy sweep with jax.export (symbolic batch/SNR dims — the
+    `cli export` artifact), deserialize it, and time `.call` on the same
+    workload as bench_decode. This is what a deployment runtime actually
+    gets; VERDICT r4 item 1's done-criterion is that this matches the
+    in-process KV path (~25k seq/s) instead of the old full-prefix
+    export's 3.8k."""
+    from jax import export as jexport
+
+    from deepsc_gan_tpu.evaluate.kv_decode import make_greedy_decode_kv_sweep
+    from deepsc_gan_tpu.models.transceiver import make_model
+    from deepsc_gan_tpu.train.steps import create_train_state
+    from deepsc_gan_tpu.utils.config import Config
+
+    cfg = Config(bs=batch_size, dtype=dtype)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    sweep = make_greedy_decode_kv_sweep(model, cfg)
+    params = state.params
+
+    def serve(inp, seed, pnr_db, n_stds):
+        return sweep(params, inp, jax.random.PRNGKey(seed), pnr_db, n_stds)
+
+    b_sym, s_sym = jexport.symbolic_shape("b, s")
+    exp = jexport.export(jax.jit(serve))(
+        jax.ShapeDtypeStruct((b_sym, cfg.seq_len), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((s_sym,), jnp.float32))
+    blob = exp.serialize()
+    art = jexport.deserialize(blob)
+
+    inp = jax.random.randint(jax.random.PRNGKey(1),
+                             (batch_size, cfg.seq_len), 0, cfg.vocab_size,
+                             jnp.int32)
+    n_stds = jnp.linspace(0.11, 1.0, snr_points)
+    call = jax.jit(art.call)
+    for _ in range(max(1, warmup)):
+        ids = call(inp, jnp.int32(2), jnp.float32(0.0), n_stds)
+    int(np.asarray(ids[0, 0, 0]))  # sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids = call(inp, jnp.int32(2), jnp.float32(0.0), n_stds)
+        int(np.asarray(ids[0, 0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    return {"artifact_mb": round(len(blob) / 1e6, 1),
+            "seqs_per_sec": round(batch_size * snr_points / best, 1)}
+
+
+def bench_qkv_ab(batch: int, scan_k: int, steps: int, reps: int,
+                 warmup: int, dtype: str):
+    """Packed-QKV A/B (VERDICT r4 item 4): the same train step traced with
+    separate wq/wk/wv matmuls vs ONE packed (D, 3*H*Dh) contraction per
+    self-attention (K/V pair-packed in cross-attention) — identical param
+    tree, identical math (ops/attention.py:set_qkv_fusion). Measured at
+    the flagship shape and at the d256 profile shape whose 12.4 ms
+    'data formatting' bucket motivated the lever
+    (results/profile_d256.json)."""
+    from deepsc_gan_tpu.ops.attention import set_qkv_fusion
+    from deepsc_gan_tpu.utils.config import Config
+
+    d256 = dict(bs=512, dtype=dtype, rng_impl="rbg",
+                encoder_d_model=256, decoder_d_model=256,
+                encoder_d_ff=1024, decoder_d_ff=1024,
+                encoder_num_layer=6, decoder_num_layer=6)
+    shapes = {
+        "flagship": (Config(bs=batch, dtype=dtype), batch, scan_k, steps),
+        "d256_B512": (Config(**d256), 512, 8, 2),
+    }
+    n_chips = max(jax.device_count(), 1)
+    rows = {}
+    try:
+        for name, (cfg, b, k, st) in shapes.items():
+            row = {}
+            for fuse in (False, True):
+                set_qkv_fusion(fuse)
+                sps, _, _ = bench_batch(b, k, st, reps, warmup, dtype,
+                                        cfg=cfg)
+                row["packed" if fuse else "separate"] = round(
+                    sps / n_chips, 1)
+            row["packed_speedup"] = round(row["packed"] / row["separate"],
+                                          4)
+            rows[name] = row
+    finally:
+        set_qkv_fusion(False)
+    return rows
+
+
 def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
                warmup: int, dtype: str, mode: str):
     """Star-variant (SE/SD) training throughput with the satellite-update
@@ -359,6 +450,13 @@ def main() -> None:
                         help="also measure compute-bound rows: d_model "
                              "256/512, 6+6 layers, dff=4d, B>=512, bf16 "
                              "(MFU demonstration; extra compiles)")
+    parser.add_argument("--export-decode", action="store_true",
+                        help="also measure serving throughput through the "
+                             "jax.export artifact (the `cli export` "
+                             "deployment path, KV-cached)")
+    parser.add_argument("--qkv-ab", action="store_true",
+                        help="also A/B separate vs packed QKV projections "
+                             "at flagship and d256 shapes")
     parser.add_argument("--ce-ab", action="store_true",
                         help="also A/B the Pallas CE kernels vs the "
                              "lax.scan path at a dispatching shape")
@@ -449,6 +547,15 @@ def main() -> None:
         out["beam4_full_sents_per_sec"] = round(
             bench_decode(args.batch, args.dtype, "beam_full", 19,
                          args.reps, args.warmup) / n_chips, 1)
+
+    if args.export_decode:
+        out["export_kv_serving"] = bench_export_decode(
+            args.batch, args.dtype, 19, args.reps, args.warmup)
+
+    if args.qkv_ab:
+        out["qkv_pack_ab"] = bench_qkv_ab(
+            args.batch, args.scan_steps, args.steps, args.reps,
+            args.warmup, args.dtype)
 
     if args.model_scale:
         rows = {}
