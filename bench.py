@@ -188,12 +188,23 @@ def bench_export_decode(batch_size: int, dtype: str, snr_points: int,
         return sweep(params, inp, jax.random.PRNGKey(seed), pnr_db, n_stds)
 
     b_sym, s_sym = jexport.symbolic_shape("b, s")
-    exp = jexport.export(jax.jit(serve))(
-        jax.ShapeDtypeStruct((b_sym, cfg.seq_len), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.float32),
-        jax.ShapeDtypeStruct((s_sym,), jnp.float32))
-    blob = exp.serialize()
+    # portable artifact: XLA einsum attention, not the Mosaic custom
+    # call (mirrors cli export)
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        attn_kernel_mode,
+        set_attn_kernel_mode,
+    )
+    restore_attn = attn_kernel_mode()
+    set_attn_kernel_mode("xla")
+    try:
+        exp = jexport.export(jax.jit(serve))(
+            jax.ShapeDtypeStruct((b_sym, cfg.seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((s_sym,), jnp.float32))
+        blob = exp.serialize()
+    finally:
+        set_attn_kernel_mode(restore_attn)
     art = jexport.deserialize(blob)
 
     inp = jax.random.randint(jax.random.PRNGKey(1),
@@ -250,6 +261,82 @@ def bench_qkv_ab(batch: int, scan_k: int, steps: int, reps: int,
             rows[name] = row
     finally:
         set_qkv_fusion(False)
+    return rows
+
+
+def bench_attn_ab(batch: int, scan_k: int, steps: int, reps: int,
+                  warmup: int, dtype: str):
+    """Head-layout A/B (the d256 copy-bucket lever after packed QKV was
+    rejected): the same train step traced with the default (B,L,H,Dh)
+    attention layout vs (B,H,L,Dh) projections that keep the whole
+    logits->softmax->context chain layout-consistent
+    (ops/attention.py:set_head_layout) — identical param tree, identical
+    math. Measured at the flagship shape and at the d256 profile shape
+    whose 12.5 ms/step `copy` family motivated the lever
+    (results/profile_d256_r5.json)."""
+    from deepsc_gan_tpu.ops.attention import set_head_layout
+    from deepsc_gan_tpu.utils.config import Config
+
+    d256 = dict(bs=512, dtype=dtype, rng_impl="rbg",
+                encoder_d_model=256, decoder_d_model=256,
+                encoder_d_ff=1024, decoder_d_ff=1024,
+                encoder_num_layer=6, decoder_num_layer=6)
+    shapes = {
+        "flagship": (Config(bs=batch, dtype=dtype), batch, scan_k, steps),
+        "d256_B512": (Config(**d256), 512, 8, 2),
+    }
+    n_chips = max(jax.device_count(), 1)
+    rows = {}
+    try:
+        for name, (cfg, b, k, st) in shapes.items():
+            row = {}
+            for layout in ("blhd", "bhld"):
+                set_head_layout(layout)
+                sps, _, _ = bench_batch(b, k, st, reps, warmup, dtype,
+                                        cfg=cfg)
+                row[layout] = round(sps / n_chips, 1)
+            row["bhld_speedup"] = round(row["bhld"] / row["blhd"], 4)
+            rows[name] = row
+    finally:
+        set_head_layout("blhd")
+    return rows
+
+
+def bench_attn_kernel_ab(batch: int, scan_k: int, steps: int, reps: int,
+                         warmup: int, dtype: str):
+    """Fused-attention-kernel A/B (the d256 copy-bucket lever after the
+    three layout A/Bs were rejected): the same train step traced with
+    the XLA einsum attention vs the fused Pallas kernel
+    (ops/pallas/attention.py — 3-D lane-aligned I/O, heads split in
+    VMEM, custom-VJP backward), identical param tree and math. Measured
+    at the flagship shape and at the d256 profile shape whose 12.5
+    ms/step `copy` family is the target
+    (results/profile_d256_r5.json)."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+    from deepsc_gan_tpu.utils.config import Config
+
+    d256 = dict(bs=512, dtype=dtype, rng_impl="rbg",
+                encoder_d_model=256, decoder_d_model=256,
+                encoder_d_ff=1024, decoder_d_ff=1024,
+                encoder_num_layer=6, decoder_num_layer=6)
+    shapes = {
+        "flagship": (Config(bs=batch, dtype=dtype), batch, scan_k, steps),
+        "d256_B512": (Config(**d256), 512, 8, 2),
+    }
+    n_chips = max(jax.device_count(), 1)
+    rows = {}
+    try:
+        for name, (cfg, b, k, st) in shapes.items():
+            row = {}
+            for mode in ("xla", "pallas"):
+                set_attn_kernel_mode(mode)
+                sps, _, _ = bench_batch(b, k, st, reps, warmup, dtype,
+                                        cfg=cfg)
+                row[mode] = round(sps / n_chips, 1)
+            row["pallas_speedup"] = round(row["pallas"] / row["xla"], 4)
+            rows[name] = row
+    finally:
+        set_attn_kernel_mode("xla")
     return rows
 
 
@@ -454,6 +541,14 @@ def main() -> None:
                         help="also measure serving throughput through the "
                              "jax.export artifact (the `cli export` "
                              "deployment path, KV-cached)")
+    parser.add_argument("--attn-kernel-ab", action="store_true",
+                        help="also A/B the XLA einsum attention vs the "
+                             "fused Pallas attention kernel at flagship "
+                             "and d256 shapes")
+    parser.add_argument("--attn-ab", action="store_true",
+                        help="also A/B the (B,L,H,Dh) vs (B,H,L,Dh) "
+                             "attention head layouts at flagship and "
+                             "d256 shapes")
     parser.add_argument("--qkv-ab", action="store_true",
                         help="also A/B separate vs packed QKV projections "
                              "at flagship and d256 shapes")
@@ -551,6 +646,16 @@ def main() -> None:
     if args.export_decode:
         out["export_kv_serving"] = bench_export_decode(
             args.batch, args.dtype, 19, args.reps, args.warmup)
+
+    if args.attn_kernel_ab:
+        out["attn_kernel_ab"] = bench_attn_kernel_ab(
+            args.batch, args.scan_steps, args.steps, args.reps,
+            args.warmup, args.dtype)
+
+    if args.attn_ab:
+        out["attn_layout_ab"] = bench_attn_ab(
+            args.batch, args.scan_steps, args.steps, args.reps,
+            args.warmup, args.dtype)
 
     if args.qkv_ab:
         out["qkv_pack_ab"] = bench_qkv_ab(

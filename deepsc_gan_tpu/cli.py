@@ -183,6 +183,13 @@ def cmd_train(args) -> None:
     # plain mode on one chip: K-step lax.scan per dispatch (bench-level
     # throughput — the chip may sit behind a high-latency tunnel);
     # dp/tp > 1: GSPMD / shard_map parallel steps over the mesh.
+    if cfg.dp > 1 or cfg.tp > 1 or cfg.pp > 1:
+        # the fused Pallas attention (ops/pallas/attention.py, TPU
+        # default) has no GSPMD partitioning rule — mesh paths trace the
+        # XLA einsum attention instead (single-device runs keep the
+        # kernel: 1.77x at d256, RESULTS.md)
+        from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+        set_attn_kernel_mode("xla")
     mesh = None
     mine_state = None
     scan_k = max(1, args.scan_steps)
@@ -723,8 +730,21 @@ def cmd_export(args) -> None:
         b_str, s_str = "b", "s"
     ex_seed = jax.ShapeDtypeStruct((), jnp.int32)
     ex_pnr = jax.ShapeDtypeStruct((), jnp.float32)
-    exp = jexport.export(jax.jit(serve))(ex_inp, ex_seed, ex_pnr, ex_nstd)
-    blob = exp.serialize()
+    # the artifact must stay portable StableHLO: trace the encoder's
+    # attention through the XLA einsum path, not the Mosaic custom call
+    # the fused kernel emits (same reason as the beam scorer above)
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        attn_kernel_mode as _akm,
+        set_attn_kernel_mode,
+    )
+    restore_attn = _akm()
+    set_attn_kernel_mode("xla")
+    try:
+        exp = jexport.export(jax.jit(serve))(ex_inp, ex_seed, ex_pnr,
+                                             ex_nstd)
+        blob = exp.serialize()
+    finally:
+        set_attn_kernel_mode(restore_attn)
     if restore_mode is not None:
         from deepsc_gan_tpu.ops.pallas.topk import set_topk_kernel_mode
         set_topk_kernel_mode(restore_mode)

@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 _QKV_FUSION = False
+_HEAD_LAYOUT = "blhd"
 
 
 def set_qkv_fusion(on: bool) -> None:
@@ -42,6 +43,40 @@ def set_qkv_fusion(on: bool) -> None:
 
 def qkv_fusion() -> bool:
     return _QKV_FUSION
+
+
+def set_head_layout(layout: str) -> None:
+    """Pick the attention activation layout traced by MultiHeadAttention
+    (takes effect on functions traced AFTER the call):
+
+    - "blhd" (default): project to (B, L, H, Dh); the logits einsum
+      transposes to (B, H, Lq, Lk) and the context einsum transposes
+      back. XLA materializes those layout changes as inter-fusion copies
+      — the d256 profile's 12.5 ms/step `copy` family
+      (results/profile_d256_r5.json).
+    - "bhld": project straight to (B, H, L, Dh) so the whole
+      logits -> softmax -> context chain is layout-consistent (einsums
+      'bhqd,bhkd->bhqk' and 'bhqk,bhkd->bhqd' need no transposes); the
+      output projection contracts (H, Dh) as axes (-3, -1). The PARAM
+      TREE IS UNCHANGED (same kernel shapes (D, H, Dh) / (H, Dh, D)),
+      so checkpoints are interchangeable; equivalence pinned in
+      tests/test_models.py. A/B-measured via bench.py --attn-ab.
+    """
+    global _HEAD_LAYOUT
+    assert layout in ("blhd", "bhld"), layout
+    _HEAD_LAYOUT = layout
+
+
+def head_layout() -> str:
+    return _HEAD_LAYOUT
+
+
+def _attn_kernel_on() -> bool:
+    """True when the fused Pallas attention (ops/pallas/attention.py) is
+    selected via its own mode switch ("pallas" on TPU, "interpret" for
+    CPU tests; default "xla" = the einsum paths below)."""
+    from deepsc_gan_tpu.ops.pallas.attention import attn_kernel_mode
+    return attn_kernel_mode() != "xla"
 
 
 def _dg_kernel_init(rng, shape, dtype):
@@ -109,6 +144,60 @@ class MultiHeadAttention(nn.Module):
                               self.param_dtype, name=name)()
 
         wq, wk, wv = kernel("wq", q), kernel("wk", k), kernel("wv", v)
+        if _attn_kernel_on() and q.ndim == 3:
+            # fused Pallas path (ops/pallas/attention.py): projections
+            # stay 3-D and lane-aligned (the '...hk' einsum + merge-minor
+            # reshape folds into ONE (D, H*Dh) matmul); scores/softmax/
+            # context never leave VMEM, so no (B, H or L, ...) 4-D head
+            # tensor is ever materialized in HBM
+            from deepsc_gan_tpu.ops.pallas.attention import fused_attention
+            dt = self.dtype
+            b, lq = q.shape[0], q.shape[1]
+            lk = k.shape[1]
+            hd = self.num_heads * depth
+
+            def proj3(x, w):
+                return jnp.einsum("bld,dx->blx", x.astype(dt),
+                                  w.reshape(w.shape[0], hd).astype(dt))
+
+            qp, kp, vp = proj3(q, wq), proj3(k, wk), proj3(v, wv)
+            if mask is None:
+                bias = jnp.zeros((b, lq, lk), jnp.float32)
+            else:
+                mb = mask.astype(jnp.float32) * -1e9
+                if mb.ndim == 4:  # (B,1,1,Lk) pad or (B,1,Lq,Lk) combined
+                    bias = jnp.broadcast_to(mb, (b, 1, lq, lk)).reshape(
+                        b, lq, lk)
+                else:  # (Lq, Lk) causal
+                    bias = jnp.broadcast_to(mb, (b, lq, lk))
+            ctx = fused_attention(qp, kp, vp, bias, self.num_heads,
+                                  float(np.sqrt(depth)))
+            # reshape + immediate (-2,-1) contraction folds into a plain
+            # (H*Dh, D) matmul; param tree identical to the einsum path
+            return nn.DenseGeneral(
+                features=self.d_model, axis=(-2, -1), use_bias=True,
+                name="out", dtype=dt, param_dtype=self.param_dtype)(
+                    ctx.reshape(b, lq, self.num_heads, depth))
+        if _HEAD_LAYOUT == "bhld" and q.ndim == 3:
+            # layout-consistent chain: project straight into (B, H, L, Dh)
+            # so neither einsum below needs a transposed operand layout
+            dt = self.dtype
+            qh = jnp.einsum("bqd,dhk->bhqk", q.astype(dt), wq.astype(dt))
+            kh = jnp.einsum("bmd,dhk->bhmk", k.astype(dt), wk.astype(dt))
+            vh = jnp.einsum("bmd,dhk->bhmk", v.astype(dt), wv.astype(dt))
+            scale = jnp.sqrt(jnp.asarray(depth, jnp.float32))
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh,
+                                kh).astype(jnp.float32) / scale
+            if mask is not None:
+                logits = logits + mask.astype(jnp.float32) * -1e9
+            weights = jax.nn.softmax(logits, axis=-1).astype(dt)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+            # contracting (H, Dh) at axes (-3, -1) keeps the SAME kernel
+            # shape (H, Dh, d_model) as the (-2, -1) call on (B,L,H,Dh)
+            return nn.DenseGeneral(
+                features=self.d_model, axis=(-3, -1), use_bias=True,
+                name="out", dtype=dt,
+                param_dtype=self.param_dtype)(ctx)
         if _QKV_FUSION and q is k and k is v:
             # self-attention: one (D, 3*H*Dh) matmul
             qh, kh, vh = project_packed(q, (wq, wk, wv), self.dtype)

@@ -184,3 +184,48 @@ def test_qkv_fusion_equivalence(tiny_cfg, tiny_batch, variant):
                                 jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6, err_msg=str(ka))
+
+
+@pytest.mark.parametrize("variant", ["transformer", "star", "star_multi"])
+def test_head_layout_equivalence(tiny_cfg, tiny_batch, variant):
+    """set_head_layout("bhld") re-traces the attention chain in the
+    (B, H, L, Dh) layout (no transposed einsum operands — the d256
+    copy-bucket lever after packed QKV was rejected): the param tree is
+    bit-identical under either layout, and forward logits + a training
+    gradient agree to f32 reduction tolerance."""
+    from deepsc_gan_tpu.ops.attention import head_layout, set_head_layout
+
+    cfg = tiny_cfg
+    model = make_model(cfg, variant)
+    inp = tiny_batch
+    tar_inp = inp[:, :-1]
+    enc_m, comb_m, dec_m = create_masks(inp, tar_inp)
+    p = jnp.zeros((cfg.bs, cfg.seq_len, cfg.channel_dim))
+
+    def fwd_and_grad(layout):
+        prev = head_layout()
+        set_head_layout(layout)
+        try:
+            state = _state(model, cfg, variant)
+
+            def loss(params):
+                logits, _, _, _ = model.apply(
+                    {"params": params}, inp, tar_inp, jax.random.PRNGKey(1),
+                    p, 0.0, "AWGN", 0.1, enc_m, comb_m, dec_m,
+                    deterministic=True)
+                return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+            val, grad = jax.value_and_grad(loss)(state.params)
+            return state.params, val, grad
+        finally:
+            set_head_layout(prev)
+
+    p0, v0, g0 = fwd_and_grad("blhd")
+    p1, v1, g1 = fwd_and_grad("bhld")
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, p1))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=2e-5)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6, err_msg=str(ka))

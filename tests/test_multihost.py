@@ -44,7 +44,11 @@ def _run_demo(mode: str):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "multihost_demo.py"),
          "--mode", mode, "--steps", "2", "--port", str(_free_port())],
-        capture_output=True, text=True, timeout=360,
+        # generous bound: ~100s alone, but the Gloo handshake + three
+        # full compiles stretch several-fold when the machine is saturated
+        # (xdist workers + a concurrent TPU process); the flock above
+        # already serializes the clusters themselves
+        capture_output=True, text=True, timeout=900,
         cwd=REPO, env={**os.environ, "JAX_PLATFORMS": ""})
     assert out.returncode == 0, out.stdout + out.stderr
     assert "OK: multi-controller == single-controller" in out.stdout

@@ -139,3 +139,106 @@ def test_mha_masking_blocks_positions():
     # rows 0-2 can't see position 3
     np.testing.assert_allclose(np.asarray(out1)[:, :3],
                                np.asarray(out2)[:, :3], atol=1e-4)
+
+
+# ---- fused Pallas attention (ops/pallas/attention.py) ----------------
+
+
+def _attn_einsum_ref(q3, k3, v3, bias, heads, scale):
+    """The ops/attention.py einsum math on 3-D packed tensors."""
+    b, lq, hd = q3.shape
+    lk = k3.shape[1]
+    dh = hd // heads
+    q = q3.reshape(b, lq, heads, dh)
+    k = k3.reshape(b, lk, heads, dh)
+    v = v3.reshape(b, lk, heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / scale
+    s = s + bias[:, None]
+    p = jax.nn.softmax(s, -1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, lq, hd)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("shape", [
+    (4, 8, 8, 2, 8),    # aligned self-attention-ish
+    (4, 7, 9, 2, 8),    # unaligned Lq/Lk (the L=31 decoder case)
+    (6, 1, 12, 3, 4),   # Lq=1 (star relay query)
+])
+def test_fused_attention_matches_einsum(shape):
+    """Kernel fwd + all four grads == the einsum path to f32 tolerance,
+    including non-tile-aligned Lq/Lk (Mosaic pads blocks internally)."""
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        fused_attention,
+        set_attn_kernel_mode,
+    )
+
+    b, lq, lk, h, dh = shape
+    hd = h * dh
+    q3 = jax.random.normal(jax.random.PRNGKey(0), (b, lq, hd), jnp.float32)
+    k3 = jax.random.normal(jax.random.PRNGKey(1), (b, lk, hd), jnp.float32)
+    v3 = jax.random.normal(jax.random.PRNGKey(2), (b, lk, hd), jnp.float32)
+    bias = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(3), (b, lq, lk)) > 0.7,
+        -1e9, 0.0).astype(jnp.float32)
+    scale = float(np.sqrt(dh))
+
+    set_attn_kernel_mode("interpret")
+    try:
+        out = fused_attention(q3, k3, v3, bias, h, scale)
+        ref = _attn_einsum_ref(q3, k3, v3, bias, h, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6)
+
+        def k_loss(*a):
+            return jnp.sum(jnp.sin(fused_attention(*a, h, scale)))
+
+        def r_loss(*a):
+            return jnp.sum(jnp.sin(_attn_einsum_ref(*a, h, scale)))
+
+        gk = jax.grad(k_loss, argnums=(0, 1, 2, 3))(q3, k3, v3, bias)
+        gr = jax.grad(r_loss, argnums=(0, 1, 2, 3))(q3, k3, v3, bias)
+        for name, a, r in zip("qkvb", gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=2e-6, err_msg=f"d{name}")
+    finally:
+        set_attn_kernel_mode("auto")
+
+
+def test_fused_attention_module_equivalence():
+    """MultiHeadAttention traced through the kernel path ("interpret")
+    == the default einsum path: identical params, matching output and
+    input gradient (the module-level wiring: 3-D projections, mask ->
+    additive bias collapse, context re-pack)."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+
+    mha = MultiHeadAttention(d_model=16, num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 10, 16), jnp.float32)
+    mask = create_padding_mask(
+        jnp.array([[1] * 7 + [0] * 3, [1] * 10, [1] * 4 + [0] * 6],
+                  jnp.int32))
+
+    def run(mode):
+        set_attn_kernel_mode(mode)
+        try:
+            params = mha.init(jax.random.PRNGKey(1), x, x, x, mask)
+
+            def loss(p, x):
+                return jnp.sum(mha.apply(p, x, x, x, mask) ** 2)
+
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+            return params, v, g
+        finally:
+            set_attn_kernel_mode("auto")
+
+    p0, v0, (gp0, gx0) = run("xla")
+    p1, v1, (gp1, gx1) = run("interpret")
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, p1))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx0), np.asarray(gx1), atol=1e-5)
+    for (ka, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(gp0),
+                               jax.tree_util.tree_leaves_with_path(gp1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=str(ka))
