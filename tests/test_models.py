@@ -229,3 +229,51 @@ def test_head_layout_equivalence(tiny_cfg, tiny_batch, variant):
                                 jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6, err_msg=str(ka))
+
+
+@pytest.mark.parametrize("variant", ["transformer", "gan"])
+def test_attn_kernel_model_equivalence(tiny_cfg, tiny_batch, variant):
+    """The fused Pallas attention (ops/pallas/attention.py, run under the
+    interpreter on CPU) traced through the FULL transceiver — both mask
+    shapes (padding (B,1,1,Lk) on the encoder, combined (B,1,Lq,Lk) on
+    the decoder) collapse to the kernel's additive bias — matches the
+    einsum path: identical params, matching loss and training gradient.
+    Model-level companion to tests/test_ops.py's op-level checks."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+
+    cfg = tiny_cfg
+    model = make_model(cfg, variant)
+    inp = tiny_batch
+    tar_inp = inp[:, :-1]
+    enc_m, comb_m, dec_m = create_masks(inp, tar_inp)
+    p = jnp.zeros((cfg.bs, cfg.seq_len, cfg.channel_dim))
+    gan = variant == "gan"
+
+    def fwd_and_grad(mode):
+        set_attn_kernel_mode(mode)
+        try:
+            state = _state(model, cfg, variant)
+
+            def loss(params):
+                kw = {"traingan": True} if gan else {}
+                out = model.apply(
+                    {"params": params}, inp, tar_inp, jax.random.PRNGKey(1),
+                    p, 0.0, "AWGN", 0.1, enc_m, comb_m, dec_m,
+                    deterministic=True, **kw)
+                logits = out[0]
+                return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+            val, grad = jax.value_and_grad(loss)(state.params)
+            return state.params, val, grad
+        finally:
+            set_attn_kernel_mode("auto")
+
+    p0, v0, g0 = fwd_and_grad("xla")
+    p1, v1, g1 = fwd_and_grad("interpret")
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), p0, p1))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=2e-5)
+    for (ka, a), (kb, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                                jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5, err_msg=str(ka))
