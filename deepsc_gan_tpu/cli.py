@@ -183,11 +183,13 @@ def cmd_train(args) -> None:
     # plain mode on one chip: K-step lax.scan per dispatch (bench-level
     # throughput — the chip may sit behind a high-latency tunnel);
     # dp/tp > 1: GSPMD / shard_map parallel steps over the mesh.
-    if cfg.dp > 1 or cfg.tp > 1 or cfg.pp > 1:
+    if cfg.tp > 1 or cfg.pp > 1:
         # the fused Pallas attention (ops/pallas/attention.py, TPU
-        # default) has no GSPMD partitioning rule — mesh paths trace the
-        # XLA einsum attention instead (single-device runs keep the
-        # kernel: 1.77x at d256, RESULTS.md)
+        # default) has no GSPMD partitioning rule — tp/pp paths trace
+        # the XLA einsum attention instead (single-device runs keep the
+        # kernel: 1.77x at d256, RESULTS.md). Pure-dp paths KEEP the
+        # kernel: set_attn_kernel_mesh below nests it in a shard_map
+        # over the dp axis.
         from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
         set_attn_kernel_mode("xla")
     mesh = None
@@ -290,6 +292,12 @@ def cmd_train(args) -> None:
                 shard_batch,
             )
             mesh = make_mesh(dp=cfg.dp, snr=1)
+            # pure-dp keeps the fused Pallas attention: the kernel call
+            # nests a shard_map over the dp axis (no GSPMD rule needed)
+            from deepsc_gan_tpu.ops.pallas.attention import (
+                set_attn_kernel_mesh,
+            )
+            set_attn_kernel_mesh(mesh, "dp")
             if mode == "gan":
                 step = make_parallel_gan_step(model, cfg, mesh,
                                               full_target=star)
@@ -452,6 +460,13 @@ def cmd_evaluate(args) -> None:
     variant = args.variant
     star = _is_star(variant)
     pm = _position_mode(variant)
+    if getattr(args, "snr_parallel", 1) > 1:
+        # the snr-sharded sweeps trace either GSPMD (full-prefix greedy:
+        # no partitioning rule for the Mosaic custom call) or
+        # vmap-inside-shard_map (kv/beam) programs — both keep the XLA
+        # einsum attention; single-device sweeps keep the fused kernel
+        from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+        set_attn_kernel_mode("xla")
 
     key = jax.random.PRNGKey(args.seed)
     model = make_model(cfg, variant)

@@ -150,7 +150,13 @@ class MultiHeadAttention(nn.Module):
             # reshape folds into ONE (D, H*Dh) matmul); scores/softmax/
             # context never leave VMEM, so no (B, H or L, ...) 4-D head
             # tensor is ever materialized in HBM
-            from deepsc_gan_tpu.ops.pallas.attention import fused_attention
+            # fused_attention_sharded: identical to fused_attention on
+            # one device; inside a GSPMD dp step it nests a shard_map
+            # over the registered batch axis (set_attn_kernel_mesh) so
+            # the Mosaic custom call partitions cleanly
+            from deepsc_gan_tpu.ops.pallas.attention import (
+                fused_attention_sharded as fused_attention,
+            )
             dt = self.dtype
             b, lq = q.shape[0], q.shape[1]
             lk = k.shape[1]

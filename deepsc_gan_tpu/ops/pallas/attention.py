@@ -63,6 +63,48 @@ def attn_kernel_mode() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+_MESH_STATE = None  # Optional[(jax.sharding.Mesh, batch_axis_name)]
+
+
+def set_attn_kernel_mesh(mesh, axis: str = "dp") -> None:
+    """Register a device mesh whose `axis` shards the batch dimension of
+    every attention call traced AFTER this call (pass mesh=None to
+    clear). GSPMD cannot partition the Mosaic custom call this kernel
+    emits, so inside mesh-parallel (jit + sharding-constraint) train
+    steps `fused_attention` is wrapped in a nested `shard_map` over
+    `axis`: each device runs the kernel on its local batch shard — the
+    layout the dp steps already give the activations, so no collectives
+    or resharding are introduced (rows are independent; numerics are
+    identical to the unsharded kernel). Inert while the resolved mode is
+    "xla" (ops/attention.py never reaches this module then)."""
+    global _MESH_STATE
+    _MESH_STATE = None if mesh is None else (mesh, axis)
+
+
+def attn_kernel_mesh():
+    return _MESH_STATE
+
+
+def fused_attention_sharded(q, k, v, bias, heads: int, scale: float):
+    """`fused_attention`, batch-sharded over the registered mesh axis
+    (set_attn_kernel_mesh) when one is active — the entry point
+    ops/attention.py uses so the SAME model code traces correctly both
+    single-device and inside GSPMD dp steps."""
+    if _MESH_STATE is None:
+        return fused_attention(q, k, v, bias, heads, scale)
+    mesh, axis = _MESH_STATE
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis)
+
+    def local(qs, ks, vs, bs):
+        return fused_attention(qs, ks, vs, bs, heads, scale)
+
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec, spec),
+                     out_specs=spec, check_vma=False)(q, k, v, bias)
+
+
 def _pick_bt(b: int, lq: int, lk: int, hd: int) -> int:
     """Largest row-block that keeps the five (Bt, L, H*Dh) operands plus
     per-head f32 score tiles comfortably under the ~16 MB VMEM budget."""

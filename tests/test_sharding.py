@@ -253,3 +253,82 @@ def test_greedy_kv_sweep_sharded_matches_vmapped(tiny_cfg, tiny_batch):
     got = np.asarray(par(state.params, tiny_batch, key,
                          jnp.asarray(0.0), n_stds))
     np.testing.assert_array_equal(got, want)
+
+
+def test_dp_train_step_fused_attn_kernel_matches_single(tiny_cfg, tiny_batch):
+    """Pure-dp mesh paths keep the fused Pallas attention: with
+    set_attn_kernel_mesh registered (the CLI's pure-dp wiring), the
+    kernel call nests a shard_map over the dp axis inside the GSPMD dp
+    step. Run under the Pallas interpreter on the CPU mesh; loss and
+    updated params must match the single-device kernel step."""
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        set_attn_kernel_mesh,
+        set_attn_kernel_mode,
+    )
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    mesh = local_mesh(8)
+
+    set_attn_kernel_mode("interpret")
+    try:
+        single = make_train_step(model, cfg)
+        s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+        set_attn_kernel_mesh(mesh, "dp")
+        try:
+            par = make_parallel_train_step(model, cfg, mesh)
+            b_sh = shard_batch(batch, mesh)
+            s2, l2 = par(replicate(state, mesh), b_sh, b_sh,
+                         replicate(jax.random.PRNGKey(3), mesh),
+                         replicate(jnp.asarray(0.1), mesh))
+        finally:
+            set_attn_kernel_mesh(None)
+    finally:
+        set_attn_kernel_mode("auto")
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_attack_step_fused_attn_kernel_matches_single(tiny_cfg,
+                                                         tiny_batch):
+    """FGM adversarial dp step with the fused attention kernel sharded
+    over the dp axis: the grad-wrt-intermediate FGM motif differentiates
+    through the nested shard_map (kernel custom VJP included) and
+    matches the single-device kernel step."""
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        set_attn_kernel_mesh,
+        set_attn_kernel_mode,
+    )
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_attack_step
+    from deepsc_gan_tpu.train.steps import make_train_attack_step
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    mesh = local_mesh(8)
+
+    set_attn_kernel_mode("interpret")
+    try:
+        single = make_train_attack_step(model, cfg)
+        s1, (c1, a1) = single(state, batch, batch, jax.random.PRNGKey(3),
+                              0.0, 0.1, 1.0)
+        set_attn_kernel_mesh(mesh, "dp")
+        try:
+            par = make_parallel_attack_step(model, cfg, mesh)
+            b_sh = shard_batch(batch, mesh)
+            s2, (c2, a2) = par(replicate(state, mesh), b_sh, b_sh,
+                               jax.random.PRNGKey(3), 0.0, 0.1, 1.0)
+        finally:
+            set_attn_kernel_mesh(None)
+    finally:
+        set_attn_kernel_mode("auto")
+    assert np.isclose(float(c1), float(c2), rtol=1e-5)
+    assert np.isclose(float(a1), float(a2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
