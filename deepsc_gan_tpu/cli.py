@@ -924,13 +924,31 @@ def main(argv=None) -> None:
             pickle.dump(rows, f)
         print(f"wrote {args.out}")
     elif args.cmd == "train":
-        cmd_train(args)
+        # cmd_train/cmd_evaluate flip the module-level attention-kernel
+        # switches (mode for tp/pp/snr-parallel, mesh registration for
+        # pure-dp); restore them on exit so in-process callers (tests,
+        # notebooks) don't inherit stale state
+        from deepsc_gan_tpu.ops.pallas import attention as _attn
+
+        prev_mode, prev_mesh = _attn._MODE, _attn.attn_kernel_mesh()
+        try:
+            cmd_train(args)
+        finally:
+            _attn.set_attn_kernel_mode(prev_mode)
+            _attn._MESH_STATE = prev_mesh
     elif args.cmd == "transmit":
         cmd_transmit(args)
     elif args.cmd == "export":
         cmd_export(args)
     else:
-        cmd_evaluate(args)
+        from deepsc_gan_tpu.ops.pallas import attention as _attn
+
+        prev_mode, prev_mesh = _attn._MODE, _attn.attn_kernel_mesh()
+        try:
+            cmd_evaluate(args)
+        finally:
+            _attn.set_attn_kernel_mode(prev_mode)
+            _attn._MESH_STATE = prev_mesh
 
 
 if __name__ == "__main__":
