@@ -439,3 +439,38 @@ def test_pp_gan_step_with_ema():
         for a, e in zip(jax.tree.leaves(st2.ema_params),
                         jax.tree.leaves(st.ema_params)))
     assert moved
+
+
+def test_pp_step_fused_attn_kernel_matches_single_device():
+    """The fused Pallas attention inside the GPipe pipeline: the pp body
+    already runs per-device inside shard_map (and per-layer inside
+    lax.scan), so the kernel traces directly — no GSPMD partitioning
+    rule or mesh registration involved. Interpreter mode on the CPU
+    mesh; 2 steps must match the single-device kernel step."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+
+    cfg = _cfg()
+    model = make_model(cfg, "transformer")
+    key0 = jax.random.PRNGKey(0)
+
+    set_attn_kernel_mode("interpret")
+    try:
+        ref_state = create_train_state(model, cfg, key0)
+        ref_step = make_train_step(model, cfg)
+        mesh = _mesh(2, 2)
+        pp_state = create_pp_train_state(model, cfg, key0, mesh)
+        step = make_pp_train_step(model, cfg, mesh, n_micro=2,
+                                  dp_axis="dp")(pp_state)
+        inp = _batch(cfg)
+        for s in range(2):
+            k = jax.random.PRNGKey(100 + s)
+            ref_state, l_ref = ref_step(ref_state, inp, inp, k, 0.1)
+            pp_state, l_pp = step(pp_state, inp, inp, k, 0.1)
+            assert np.isclose(float(l_pp), float(l_ref), rtol=2e-5,
+                              atol=2e-5), s
+    finally:
+        set_attn_kernel_mode("auto")
+    back = from_pp_params(pp_state.params, cfg)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
