@@ -141,6 +141,28 @@ def _variant_config(args) -> Config:
     return cfg
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _kernel_switch_guard():
+    """Snapshot + restore the module-level Pallas-kernel switches
+    (attention and star satellite: mode + mesh registration) around a
+    CLI command, so in-process callers don't inherit stale state."""
+    from deepsc_gan_tpu.ops.pallas import attention as _attn
+    from deepsc_gan_tpu.ops.pallas import star as _star
+
+    a_mode, a_mesh = _attn._MODE, _attn.attn_kernel_mesh()
+    s_mode, s_mesh = _star._MODE, _star.star_kernel_mesh()
+    try:
+        yield
+    finally:
+        _attn.set_attn_kernel_mode(a_mode)
+        _attn._MESH_STATE = a_mesh
+        _star.set_star_kernel_mode(s_mode)
+        _star._MESH_STATE = s_mesh
+
+
 def cmd_train(args) -> None:
     cfg = _variant_config(args)
     variant = args.variant
@@ -183,15 +205,17 @@ def cmd_train(args) -> None:
     # plain mode on one chip: K-step lax.scan per dispatch (bench-level
     # throughput — the chip may sit behind a high-latency tunnel);
     # dp/tp > 1: GSPMD / shard_map parallel steps over the mesh.
-    if cfg.tp > 1 or cfg.pp > 1:
-        # the fused Pallas attention (ops/pallas/attention.py, TPU
-        # default) has no GSPMD partitioning rule — tp/pp paths trace
-        # the XLA einsum attention instead (single-device runs keep the
-        # kernel: 1.77x at d256, RESULTS.md). Pure-dp paths KEEP the
-        # kernel: set_attn_kernel_mesh below nests it in a shard_map
-        # over the dp axis.
-        from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
-        set_attn_kernel_mode("xla")
+    # Every training path keeps the fused Pallas kernels (attention:
+    # ops/pallas/attention.py, TPU default after the 1.77x/1.10x A/B;
+    # star satellite: ops/pallas/star.py). GSPMD cannot partition a
+    # Mosaic custom call, so the mesh paths handle it two ways:
+    #   - pp: the pipeline body already runs per-device inside shard_map
+    #     (+ per-layer lax.scan) — the kernels trace directly
+    #     (tests/test_pipeline.py::test_pp_step_fused_attn_kernel_*);
+    #   - dp / tp: set_*_kernel_mesh below nests each kernel call in a
+    #     shard_map over the batch (dp) axis — activations are already
+    #     batch-sharded there, so no resharding is introduced
+    #     (tests/test_sharding.py, tests/test_tensor_parallel.py).
     mesh = None
     mine_state = None
     scan_k = max(1, args.scan_steps)
@@ -266,6 +290,15 @@ def cmd_train(args) -> None:
             )
             mesh = make_mesh(dp=cfg.dp, snr=cfg.tp,
                              axis_names=("tp", "dp"))
+            # attention activations under the tp step are batch-sharded
+            # over dp / replicated over tp: nest the fused kernels in a
+            # shard_map over the dp axis (vocab-parallel CE untouched)
+            from deepsc_gan_tpu.ops.pallas.attention import (
+                set_attn_kernel_mesh,
+            )
+            from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mesh
+            set_attn_kernel_mesh(mesh, "dp")
+            set_star_kernel_mesh(mesh, "dp")
             if mode == "attack":
                 step = make_tp_attack_step(
                     model, cfg, mesh, full_target=star,
@@ -292,12 +325,14 @@ def cmd_train(args) -> None:
                 shard_batch,
             )
             mesh = make_mesh(dp=cfg.dp, snr=1)
-            # pure-dp keeps the fused Pallas attention: the kernel call
+            # pure-dp keeps the fused Pallas kernels: each kernel call
             # nests a shard_map over the dp axis (no GSPMD rule needed)
             from deepsc_gan_tpu.ops.pallas.attention import (
                 set_attn_kernel_mesh,
             )
+            from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mesh
             set_attn_kernel_mesh(mesh, "dp")
+            set_star_kernel_mesh(mesh, "dp")
             if mode == "gan":
                 step = make_parallel_gan_step(model, cfg, mesh,
                                               full_target=star)
@@ -462,11 +497,14 @@ def cmd_evaluate(args) -> None:
     pm = _position_mode(variant)
     if getattr(args, "snr_parallel", 1) > 1:
         # the snr-sharded sweeps trace either GSPMD (full-prefix greedy:
-        # no partitioning rule for the Mosaic custom call) or
+        # no partitioning rule for the Mosaic custom calls) or
         # vmap-inside-shard_map (kv/beam) programs — both keep the XLA
-        # einsum attention; single-device sweeps keep the fused kernel
+        # einsum attention AND the XLA star satellite; single-device
+        # sweeps keep the fused kernels
         from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+        from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mode
         set_attn_kernel_mode("xla")
+        set_star_kernel_mode("xla")
 
     key = jax.random.PRNGKey(args.seed)
     model = make_model(cfg, variant)
@@ -924,31 +962,19 @@ def main(argv=None) -> None:
             pickle.dump(rows, f)
         print(f"wrote {args.out}")
     elif args.cmd == "train":
-        # cmd_train/cmd_evaluate flip the module-level attention-kernel
-        # switches (mode for tp/pp/snr-parallel, mesh registration for
-        # pure-dp); restore them on exit so in-process callers (tests,
-        # notebooks) don't inherit stale state
-        from deepsc_gan_tpu.ops.pallas import attention as _attn
-
-        prev_mode, prev_mesh = _attn._MODE, _attn.attn_kernel_mesh()
-        try:
+        # cmd_train/cmd_evaluate flip the module-level Pallas-kernel
+        # switches (mode for snr-parallel eval, mesh registration for
+        # dp/tp training); restore them on exit so in-process callers
+        # (tests, notebooks) don't inherit stale state
+        with _kernel_switch_guard():
             cmd_train(args)
-        finally:
-            _attn.set_attn_kernel_mode(prev_mode)
-            _attn._MESH_STATE = prev_mesh
     elif args.cmd == "transmit":
         cmd_transmit(args)
     elif args.cmd == "export":
         cmd_export(args)
     else:
-        from deepsc_gan_tpu.ops.pallas import attention as _attn
-
-        prev_mode, prev_mesh = _attn._MODE, _attn.attn_kernel_mesh()
-        try:
+        with _kernel_switch_guard():
             cmd_evaluate(args)
-        finally:
-            _attn.set_attn_kernel_mode(prev_mode)
-            _attn._MESH_STATE = prev_mesh
 
 
 if __name__ == "__main__":

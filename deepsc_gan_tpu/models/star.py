@@ -98,8 +98,13 @@ class StarAttention(nn.Module):
         K/V are projected ONCE on h and rolled (roll commutes with the
         position-wise projections — 3 projections instead of 5), then the
         5-context attention runs through the fused Pallas kernel on TPU
-        (ops/pallas/star.py; XLA fallback elsewhere)."""
-        from deepsc_gan_tpu.ops.pallas.star import star_satellite_attention
+        (ops/pallas/star.py; XLA fallback elsewhere). The `_sharded` entry
+        is identical single-device; inside a GSPMD mesh step it nests a
+        shard_map over the registered batch axis (set_star_kernel_mesh)
+        so the Mosaic custom call partitions cleanly."""
+        from deepsc_gan_tpu.ops.pallas.star import (
+            star_satellite_attention_sharded as star_satellite_attention,
+        )
 
         b, l, d = h.shape
         flat = lambda t: t.reshape(t.shape[0], t.shape[1], d)

@@ -54,6 +54,46 @@ def star_kernel_mode() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+_MESH_STATE = None  # Optional[(jax.sharding.Mesh, batch_axis_name)]
+
+
+def set_star_kernel_mesh(mesh, axis: str = "dp") -> None:
+    """Register a device mesh whose `axis` shards the batch dimension of
+    every satellite-attention call traced AFTER this call (mesh=None
+    clears). Same contract as ops/pallas/attention.set_attn_kernel_mesh:
+    GSPMD cannot partition the Mosaic custom call, so inside mesh-parallel
+    (jit + sharding-constraint) train steps the kernel is nested in a
+    shard_map over `axis` — each device runs it on its local batch shard
+    (rows are independent; numerics identical). Inert while the resolved
+    mode is "xla"."""
+    global _MESH_STATE
+    _MESH_STATE = None if mesh is None else (mesh, axis)
+
+
+def star_kernel_mesh():
+    return _MESH_STATE
+
+
+def star_satellite_attention_sharded(q, k_ctx, v_ctx, num_heads: int):
+    """`star_satellite_attention`, batch-sharded over the registered mesh
+    axis when one is active — the entry point models/star.py uses so the
+    SAME model code traces correctly single-device and inside GSPMD dp/tp
+    steps. q: (B, L, D); k_ctx/v_ctx: (5, B, L, D) — batch is dim 0 of q
+    and dim 1 of the context stacks."""
+    if _MESH_STATE is None or star_kernel_mode() == "xla":
+        return star_satellite_attention(q, k_ctx, v_ctx, num_heads)
+    mesh, axis = _MESH_STATE
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(qs, ks, vs):
+        return star_satellite_attention(qs, ks, vs, num_heads)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=(P(axis), P(None, axis), P(None, axis)),
+                     out_specs=P(axis), check_vma=False)(q, k_ctx, v_ctx)
+
+
 def _seg_matrix(num_heads: int, depth: int) -> np.ndarray:
     """(H*depth, H) block-diagonal ones: SEG[l, h] = 1 iff lane l belongs
     to head h."""

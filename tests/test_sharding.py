@@ -332,3 +332,51 @@ def test_dp_attack_step_fused_attn_kernel_matches_single(tiny_cfg,
     assert np.isclose(float(a1), float(a2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_star_step_fused_kernels_match_single(tiny_cfg, tiny_batch):
+    """Star variant under dp with BOTH fused Pallas kernels sharded over
+    the dp axis (the CLI's pure-dp wiring registers both meshes): the
+    satellite 5-context kernel via set_star_kernel_mesh and the relay /
+    target attention via set_attn_kernel_mesh. Interpreter mode on the
+    CPU mesh; loss and updated params must match the single-device
+    kernel step."""
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        set_attn_kernel_mesh,
+        set_attn_kernel_mode,
+    )
+    from deepsc_gan_tpu.ops.pallas.star import (
+        set_star_kernel_mesh,
+        set_star_kernel_mode,
+    )
+
+    cfg = tiny_cfg.replace(bs=8)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+    mesh = local_mesh(8)
+
+    set_attn_kernel_mode("interpret")
+    set_star_kernel_mode("interpret")
+    try:
+        single = make_train_step(model, cfg, full_target=True)
+        s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+        set_attn_kernel_mesh(mesh, "dp")
+        set_star_kernel_mesh(mesh, "dp")
+        try:
+            par = make_parallel_train_step(model, cfg, mesh,
+                                           full_target=True)
+            b_sh = shard_batch(batch, mesh)
+            s2, l2 = par(replicate(state, mesh), b_sh, b_sh,
+                         replicate(jax.random.PRNGKey(3), mesh),
+                         replicate(jnp.asarray(0.1), mesh))
+        finally:
+            set_attn_kernel_mesh(None)
+            set_star_kernel_mesh(None)
+    finally:
+        set_attn_kernel_mode("auto")
+        set_star_kernel_mode("auto")
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

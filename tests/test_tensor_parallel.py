@@ -386,3 +386,51 @@ def test_tp_train_step_fused_attn_kernel_matches_single(tiny_cfg,
     assert np.isclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_star_step_fused_kernels_match_single(tiny_cfg, tiny_batch):
+    """Star variant under the (dp, tp) mesh with BOTH fused Pallas
+    kernels nested in shard_maps over the dp axis (the CLI's tp wiring
+    registers both meshes): the 5-context satellite kernel and the
+    relay/target attention kernel, with the vocab-parallel CE untouched.
+    Interpreter mode on the CPU mesh; must match the single-device
+    kernel step."""
+    from deepsc_gan_tpu.ops.pallas.attention import (
+        set_attn_kernel_mesh,
+        set_attn_kernel_mode,
+    )
+    from deepsc_gan_tpu.ops.pallas.star import (
+        set_star_kernel_mesh,
+        set_star_kernel_mode,
+    )
+
+    cfg = tiny_cfg.replace(bs=8, vocab_size=40)
+    batch = jnp.concatenate([tiny_batch, tiny_batch], axis=0)
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=8)
+
+    set_attn_kernel_mode("interpret")
+    set_star_kernel_mode("interpret")
+    try:
+        single = make_train_step(model, cfg, full_target=True)
+        s1, l1 = single(state, batch, batch, jax.random.PRNGKey(3), 0.1)
+
+        mesh = _tp_mesh(2, 2)
+        set_attn_kernel_mesh(mesh, "dp")
+        set_star_kernel_mesh(mesh, "dp")
+        try:
+            state_tp = shard_tp_state(state, mesh, cfg)
+            step = make_tp_train_step(model, cfg, mesh,
+                                      full_target=True)(state)
+            s2, l2 = step(state_tp, batch, batch, jax.random.PRNGKey(3),
+                          0.1)
+        finally:
+            set_attn_kernel_mesh(None)
+            set_star_kernel_mesh(None)
+    finally:
+        set_attn_kernel_mode("auto")
+        set_star_kernel_mode("auto")
+    assert np.isclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
