@@ -495,16 +495,12 @@ def cmd_evaluate(args) -> None:
     variant = args.variant
     star = _is_star(variant)
     pm = _position_mode(variant)
-    if getattr(args, "snr_parallel", 1) > 1:
-        # the snr-sharded sweeps trace either GSPMD (full-prefix greedy:
-        # no partitioning rule for the Mosaic custom calls) or
-        # vmap-inside-shard_map (kv/beam) programs — both keep the XLA
-        # einsum attention AND the XLA star satellite; single-device
-        # sweeps keep the fused kernels
-        from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
-        from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mode
-        set_attn_kernel_mode("xla")
-        set_star_kernel_mode("xla")
+    # snr-parallel sweeps keep the fused Pallas kernels: every sweep in
+    # parallel/sharding.py is an explicit shard_map over the snr axis, so
+    # each device traces the vmapped decode (kernels batch under vmap by
+    # growing the pallas grid) on its local SNR shard — no GSPMD
+    # partitioning of the Mosaic custom call is ever required. The only
+    # remaining XLA carve-out is `cli export` (StableHLO portability).
 
     key = jax.random.PRNGKey(args.seed)
     model = make_model(cfg, variant)

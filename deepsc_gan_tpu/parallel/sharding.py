@@ -205,18 +205,41 @@ def make_parallel_greedy_sweep(model, cfg: Config, mesh: Mesh,
     SNR points of the BLEU-vs-SNR curve. Returns
     `sweep(params, inp, key, pnr_db, n_stds[S]) -> (S, B, T+1) ids` with
     params/inputs replicated and S sharded. S must be divisible by the
-    snr-axis size."""
-    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+    snr-axis size.
 
-    sweep = make_greedy_decode_sweep(model, cfg, channel_kind,
-                                     position_mode, jit=False)
-    repl = NamedSharding(mesh, P())
-    snr_sh = NamedSharding(mesh, P(snr_axis))
-    return jax.jit(
-        sweep,
-        in_shardings=(repl, repl, repl, repl, snr_sh),
-        out_shardings=snr_sh,
-    )
+    Explicit `shard_map` (not jit + in_shardings): SNR points are
+    embarrassingly parallel, and running the whole vmapped decode
+    per-device lets the fused Pallas attention / star-satellite kernels
+    trace inside the shard (a `pallas_call` batches under vmap by
+    growing its grid, but GSPMD cannot partition the resulting Mosaic
+    custom call over the snr axis — the round-4 reason this sweep forced
+    the XLA einsum path). The key is split over the GLOBAL S axis before
+    sharding, so tokens match the unsharded
+    evaluate.greedy.make_greedy_decode_sweep exactly (tests/
+    test_sharding.py::test_greedy_sweep_sharded_matches_vmapped)."""
+    from jax import shard_map
+
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode
+
+    decode = make_greedy_decode(model, cfg, channel_kind, position_mode,
+                                jit=False)
+
+    def local_sweep(params, inp, keys, pnr_db, n_stds):
+        return jax.vmap(decode, in_axes=(None, None, 0, None, 0))(
+            params, inp, keys, pnr_db, n_stds)
+
+    mapped = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(), P(), P(snr_axis), P(), P(snr_axis)),
+        out_specs=P(snr_axis),
+        check_vma=False)
+
+    @jax.jit
+    def sweep(params, inp, key, pnr_db, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return mapped(params, inp, keys, pnr_db, n_stds)
+
+    return sweep
 
 
 def make_parallel_greedy_kv_sweep(model, cfg: Config, mesh: Mesh,
@@ -304,12 +327,17 @@ def make_parallel_snr_sweep(model, cfg: Config, mesh: Mesh,
     one device-parallel call. Returns
     `sweep(params, inp, tar, key, n_stds) -> (ce[S], acc[S])` with the S
     axis sharded over the mesh's snr axis. (Greedy-decode BLEU sweeps use
-    the same pattern through evaluate.evaluator on each shard.)"""
+    the same pattern through evaluate.evaluator on each shard.)
+
+    Explicit `shard_map` over the snr axis for the same reason as
+    make_parallel_greedy_sweep: the per-device body keeps the fused
+    Pallas kernels (GSPMD cannot partition a vmapped Mosaic custom
+    call). Keys are split over the GLOBAL S axis, so values match the
+    single-device vmapped sweep exactly."""
+    from jax import shard_map
+
     kind = channel_kind or cfg.channel
     lkw = _loss_kwargs(cfg)
-
-    repl = NamedSharding(mesh, P())
-    snr_sh = NamedSharding(mesh, P(snr_axis))
 
     def one_point(params, inp, tar, key, n_std):
         tar_inp, tar_real = _shift_targets(tar)
@@ -330,13 +358,19 @@ def make_parallel_snr_sweep(model, cfg: Config, mesh: Mesh,
             jnp.sum(mask), 1.0)
         return ce, acc
 
-    def sweep(params, inp, tar, key, n_stds):
-        keys = jax.random.split(key, n_stds.shape[0])
+    def local_sweep(params, inp, tar, keys, n_stds):
         return jax.vmap(one_point, in_axes=(None, None, None, 0, 0))(
             params, inp, tar, keys, n_stds)
 
-    return jax.jit(
-        sweep,
-        in_shardings=(repl, repl, repl, repl, snr_sh),
-        out_shardings=(snr_sh, snr_sh),
-    )
+    mapped = shard_map(
+        local_sweep, mesh=mesh,
+        in_specs=(P(), P(), P(), P(snr_axis), P(snr_axis)),
+        out_specs=(P(snr_axis), P(snr_axis)),
+        check_vma=False)
+
+    @jax.jit
+    def sweep(params, inp, tar, key, n_stds):
+        keys = jax.random.split(key, n_stds.shape[0])
+        return mapped(params, inp, tar, keys, n_stds)
+
+    return sweep

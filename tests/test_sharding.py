@@ -380,3 +380,68 @@ def test_dp_star_step_fused_kernels_match_single(tiny_cfg, tiny_batch):
     assert np.isclose(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_greedy_sweep_sharded_fused_attn_matches_vmapped(tiny_cfg,
+                                                         tiny_batch):
+    """The snr-sharded greedy sweep with the fused Pallas attention
+    traced inside each device's shard (the sweeps are explicit
+    shard_maps, so the vmapped kernel batches by growing its grid — no
+    GSPMD partitioning of the custom call) produces the same tokens as
+    the single-device vmapped sweep under the same kernel mode."""
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_greedy_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=8)
+    n_stds = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.18, 0.12, 0.08])
+    key = jax.random.PRNGKey(4)
+
+    set_attn_kernel_mode("interpret")
+    try:
+        ref_sweep = make_greedy_decode_sweep(model, cfg)
+        want = np.asarray(ref_sweep(state.params, tiny_batch, key, 0.0,
+                                    n_stds))
+        par = make_parallel_greedy_sweep(model, cfg, mesh)
+        got = np.asarray(par(state.params, tiny_batch, key,
+                             jnp.asarray(0.0), n_stds))
+    finally:
+        set_attn_kernel_mode("auto")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_snr_sweep_sharded_fused_attn_matches_vmapped(tiny_cfg, tiny_batch):
+    """Teacher-forced CE/acc snr-sharded sweep with the fused Pallas
+    attention inside each shard matches the single-device vmapped values
+    under the same kernel mode (keys split over the GLOBAL S axis)."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "transformer")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=8)
+    n_stds = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.18, 0.12, 0.08])
+    key = jax.random.PRNGKey(4)
+
+    set_attn_kernel_mode("interpret")
+    try:
+        sweep = make_parallel_snr_sweep(model, cfg, mesh)
+        ce_sh, acc_sh = sweep(state.params, tiny_batch, tiny_batch, key,
+                              n_stds)
+
+        # single-device reference: same vmapped body, no mesh
+        from deepsc_gan_tpu.parallel.mesh import make_mesh as _mm
+        mesh1 = _mm(dp=1, snr=1)
+        one = make_parallel_snr_sweep(model, cfg, mesh1)
+        ce_1, acc_1 = one(state.params, tiny_batch, tiny_batch, key, n_stds)
+    finally:
+        set_attn_kernel_mode("auto")
+    np.testing.assert_allclose(np.asarray(ce_sh), np.asarray(ce_1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_1),
+                               rtol=1e-5)
