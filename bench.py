@@ -340,6 +340,32 @@ def bench_attn_kernel_ab(batch: int, scan_k: int, steps: int, reps: int,
     return rows
 
 
+def bench_decode_attn_ab(batch: int, dtype: str, reps: int, warmup: int):
+    """Fused-attention-kernel A/B on the DECODE (serving) path: the
+    greedy full-prefix sweep re-runs the decoder stack per generated
+    token (30 autoregressive steps x 19 SNR points), so its attention
+    mix is heavier than one train step; the KV-cached sweep only hits
+    MultiHeadAttention in the encoder prefill (its per-token decode
+    attention reads cached K/V directly in evaluate/kv_decode.py).
+    Same A/B protocol as bench_attn_kernel_ab, through bench_decode."""
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+
+    n_chips = max(jax.device_count(), 1)
+    rows = {}
+    try:
+        for name, mode in (("greedy_full", "full"), ("greedy_kv", "kv")):
+            row = {}
+            for kmode in ("xla", "pallas"):
+                set_attn_kernel_mode(kmode)
+                sps = bench_decode(batch, dtype, mode, 19, reps, warmup)
+                row[kmode] = round(sps / n_chips, 1)
+            row["pallas_speedup"] = round(row["pallas"] / row["xla"], 4)
+            rows[name] = row
+    finally:
+        set_attn_kernel_mode("auto")
+    return rows
+
+
 def bench_star(batch_size: int, scan_k: int, steps: int, reps: int,
                warmup: int, dtype: str, mode: str):
     """Star-variant (SE/SD) training throughput with the satellite-update
@@ -541,6 +567,10 @@ def main() -> None:
                         help="also measure serving throughput through the "
                              "jax.export artifact (the `cli export` "
                              "deployment path, KV-cached)")
+    parser.add_argument("--decode-attn-ab", action="store_true",
+                        help="A/B the fused Pallas attention on the "
+                             "decode path (greedy full-prefix + KV "
+                             "sweeps, xla vs pallas)")
     parser.add_argument("--attn-kernel-ab", action="store_true",
                         help="also A/B the XLA einsum attention vs the "
                              "fused Pallas attention kernel at flagship "
@@ -646,6 +676,10 @@ def main() -> None:
     if args.export_decode:
         out["export_kv_serving"] = bench_export_decode(
             args.batch, args.dtype, 19, args.reps, args.warmup)
+
+    if args.decode_attn_ab:
+        out["decode_attn_ab"] = bench_decode_attn_ab(
+            args.batch, args.dtype, args.reps, args.warmup)
 
     if args.attn_kernel_ab:
         out["attn_kernel_ab"] = bench_attn_kernel_ab(

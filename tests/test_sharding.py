@@ -445,3 +445,39 @@ def test_snr_sweep_sharded_fused_attn_matches_vmapped(tiny_cfg, tiny_batch):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(acc_sh), np.asarray(acc_1),
                                rtol=1e-5)
+
+
+def test_star_greedy_sweep_sharded_fused_kernels_matches_vmapped(
+        tiny_cfg, tiny_batch):
+    """Star one-shot decode sharded over the snr axis with BOTH fused
+    Pallas kernels (satellite + attention) traced inside each device's
+    shard matches the single-device vmapped sweep under the same kernel
+    mode — the `cli evaluate --variant star --snr-parallel N` path."""
+    from deepsc_gan_tpu.evaluate.greedy import make_greedy_decode_sweep
+    from deepsc_gan_tpu.ops.pallas.attention import set_attn_kernel_mode
+    from deepsc_gan_tpu.ops.pallas.star import set_star_kernel_mode
+    from deepsc_gan_tpu.parallel.sharding import make_parallel_greedy_sweep
+
+    cfg = tiny_cfg
+    model = make_model(cfg, "star")
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch_size=cfg.bs)
+    mesh = make_mesh(dp=1, snr=8)
+    n_stds = jnp.asarray([1.0, 0.7, 0.5, 0.35, 0.25, 0.18, 0.12, 0.08])
+    key = jax.random.PRNGKey(4)
+
+    set_attn_kernel_mode("interpret")
+    set_star_kernel_mode("interpret")
+    try:
+        ref_sweep = make_greedy_decode_sweep(model, cfg,
+                                             position_mode="oneshot")
+        want = np.asarray(ref_sweep(state.params, tiny_batch, key, 0.0,
+                                    n_stds))
+        par = make_parallel_greedy_sweep(model, cfg, mesh,
+                                         position_mode="oneshot")
+        got = np.asarray(par(state.params, tiny_batch, key,
+                             jnp.asarray(0.0), n_stds))
+    finally:
+        set_attn_kernel_mode("auto")
+        set_star_kernel_mode("auto")
+    np.testing.assert_array_equal(got, want)
